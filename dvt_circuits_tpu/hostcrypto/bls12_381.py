@@ -904,9 +904,26 @@ def clear_cofactor_g2(pt):
     return g2_mul_raw(pt, H_EFF_G2)
 
 
-def hash_to_g2(msg: bytes, dst: bytes = DST_G2):
-    """hash_to_curve for the RO suite: two field elements, map, add, clear."""
+def _hash_to_g2_uncached(msg: bytes, dst: bytes = DST_G2):
     u0, u1 = hash_to_field_fp2(msg, 2, dst)
     q0 = iso_map_g2(map_to_curve_sswu_g2(u0))
     q1 = iso_map_g2(map_to_curve_sswu_g2(u1))
     return clear_cofactor_g2(g2_add(q0, q1))
+
+
+_H2G2_CACHE: dict = {}
+
+
+def hash_to_g2(msg: bytes, dst: bytes = DST_G2):
+    """hash_to_curve for the RO suite: two field elements, map, add, clear.
+
+    Memoized: the verification flows hash the same cleartext once per
+    generation (bls_keys.rs:215-217 precomputes for the same reason).
+    """
+    key = (bytes(msg), bytes(dst))
+    hit = _H2G2_CACHE.get(key)
+    if hit is None:
+        if len(_H2G2_CACHE) > 4096:
+            _H2G2_CACHE.clear()
+        hit = _H2G2_CACHE[key] = _hash_to_g2_uncached(key[0], key[1])
+    return hit
