@@ -2,9 +2,10 @@ import os
 import sys
 from pathlib import Path
 
-# Multi-chip logic tests run on a virtual CPU mesh; set the flags before any
-# JAX import so the platform is picked up.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Multi-chip logic tests run on a virtual CPU mesh; force the platform before
+# any JAX import (the environment defaults JAX_PLATFORMS to the real TPU
+# tunnel, which would remote-compile every tiny test kernel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
