@@ -22,6 +22,8 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import jaxcfg  # noqa: F401  (enables the persistent compile cache)
+
 P = 2013265921  # 15 * 2**27 + 1
 TWO_ADICITY = 27
 GENERATOR = 31  # smallest multiplicative generator of F_p^*
