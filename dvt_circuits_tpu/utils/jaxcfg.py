@@ -18,6 +18,11 @@ _CACHE_DIR = os.environ.get(
 
 def setup() -> None:
     try:
+        platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        if platforms.strip() == "cpu":
+            # XLA:CPU AOT cache entries are machine-feature-pinned and can
+            # SIGILL when reloaded; the cache only pays off on TPU anyway.
+            return
         os.makedirs(_CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
