@@ -60,6 +60,7 @@ class GuestResult:
     public_values: bytes
     stdout: str = ""
     panic_message: Optional[str] = None
+    commit_count: int = 0
 
     @property
     def ok(self) -> bool:
@@ -88,5 +89,11 @@ def run_guest(
             public_values=bytes(ctx.public_values),
             stdout=buf.getvalue(),
             panic_message=msg,
+            commit_count=ctx.commit_count,
         )
-    return GuestResult(exit_code=0, public_values=bytes(ctx.public_values), stdout=buf.getvalue())
+    return GuestResult(
+        exit_code=0,
+        public_values=bytes(ctx.public_values),
+        stdout=buf.getvalue(),
+        commit_count=ctx.commit_count,
+    )

@@ -50,14 +50,15 @@ def _twiddle_stages(log_n: int, inverse: bool):
         for j in range(m // 2):
             tw[j] = acc
             acc = acc * w % bb.P
-        stages.append(jnp.asarray(bb.np_to_mont(tw)))
+        # stored as host numpy so the cache never captures jit tracers
+        stages.append(bb.np_to_mont(tw))
     return tuple(stages)
 
 
 def _ntt_core(x, log_n: int, inverse: bool):
     n = 1 << log_n
     rev = _bit_reverse_indices(log_n)
-    x = jnp.take(x, jnp.asarray(rev), axis=-1)
+    x = jnp.take(x, rev, axis=-1)
     stages = _twiddle_stages(log_n, inverse)
     batch_shape = x.shape[:-1]
     for s in range(1, log_n + 1):
@@ -105,7 +106,7 @@ def _shift_powers(log_n: int, shift: int):
     for i in range(n):
         pw[i] = acc
         acc = acc * shift % bb.P
-    return jnp.asarray(bb.np_to_mont(pw))
+    return bb.np_to_mont(pw)  # host numpy: safe to cache across jit traces
 
 
 def coset_lde(evals, log_blowup: int, shift: int = bb.GENERATOR, axis: int = -1):

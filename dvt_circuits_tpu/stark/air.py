@@ -27,12 +27,21 @@ class Air:
 
     width: int = 0
     num_public_values: int = 0
+    preprocessed_width: int = 0
 
     def eval(self, builder: "AirBuilder") -> None:
         raise NotImplementedError
 
-    def preprocessed_trace(self):
+    def preprocessed_trace(self, n: int):
+        """Optional fixed columns (selectors, round constants): (n, pw) array
+        of standard-form uint32, deterministic in n.  Both sides commit it;
+        the verifier recomputes the commitment as part of the verifying key."""
         return None
+
+    def cache_key(self):
+        """Hashable identity for jit-phase caching: class + instance params."""
+        items = tuple(sorted((k, v) for k, v in self.__dict__.items()))
+        return (type(self).__module__, type(self).__qualname__, items)
 
 
 class AirBuilder:
@@ -46,6 +55,13 @@ class AirBuilder:
 
     def next(self, j: int):
         return self._next(j)
+
+    def preprocessed(self, j: int):
+        """Fixed (circuit-defined) column value on the local row."""
+        return self._pre(j)
+
+    def preprocessed_next(self, j: int):
+        return self._pre_next(j)
 
     def public(self, i: int):
         return self._public(i)

@@ -7,8 +7,11 @@ SURVEY.md §3.1 hot loops):
   → chunked quotient commit → DEEP openings at ζ, g·ζ → γ-batched DEEP
   codeword → FRI commit/fold/query.
 
-Everything left of the query phase is batched JAX on device; transcript and
-query assembly are host-side.
+The device work is organized into a handful of jitted *phase functions*
+(LDE, quotient+chunks, openings, DEEP codeword), cached per
+(AIR, trace-size, config) — a proof in a warm process is a few device
+dispatches plus the host-side transcript; nothing inside a phase round-trips
+to Python.
 """
 
 from __future__ import annotations
@@ -53,9 +56,8 @@ def power_series(base: int, n: int, start: int = 1):
 def _domain_tables(log_n: int, log_blowup: int, shift: int):
     """Precomputed LDE-domain tables (Montgomery): x, Z_H, selectors."""
     n = 1 << log_n
-    n_lde = n << log_blowup
     w_k = bb.two_adic_generator(log_n + log_blowup)
-    x = power_series(w_k, n_lde, start=shift)  # x_i = shift·ω_K^i
+    x = power_series(w_k, n << log_blowup, start=shift)  # x_i = shift·ω_K^i
     # Z_H(x_i) = shift^N·ω_b^i − 1, period `blowup` in i
     w_b = bb.two_adic_generator(log_blowup) if log_blowup else 1
     s_n = pow(shift, n, bb.P)
@@ -89,13 +91,16 @@ class ProverBuilder(AirBuilder):
 
     P = bb.P
 
-    def __init__(self, lde_cols, next_cols, publics, sels, alpha_mont, n_lde):
+    def __init__(self, lde_cols, next_cols, publics_mont, sels, alpha_mont, n_lde,
+                 pre_cols=(), pre_next_cols=()):
         self._cols = lde_cols
         self._nexts = next_cols
-        self._publics = publics
+        self._pres = pre_cols
+        self._pre_nexts = pre_next_cols
+        self._publics = publics_mont  # traced (np,) Montgomery array
         self._sels = sels
         self._alpha = alpha_mont
-        self._acc = ext.zeros((n_lde,))
+        self._exprs = []
         self._n_lde = n_lde
         self.count = 0
 
@@ -105,8 +110,14 @@ class ProverBuilder(AirBuilder):
     def _next(self, j):
         return self._nexts[j]
 
+    def _pre(self, j):
+        return self._pres[j]
+
+    def _pre_next(self, j):
+        return self._pre_nexts[j]
+
     def _public(self, i):
-        return jnp.full((), np.uint32(bb.s_to_mont(self._publics[i] % bb.P)), jnp.uint32)
+        return self._publics[i]
 
     def _const(self, c):
         return jnp.full((), np.uint32(bb.s_to_mont(c)), jnp.uint32)
@@ -130,10 +141,49 @@ class ProverBuilder(AirBuilder):
         return self._sels["sel_transition"]
 
     def _accumulate(self, expr):
-        expr = jnp.broadcast_to(expr, (self._n_lde,))
-        alpha = jnp.broadcast_to(self._alpha, (self._n_lde, ext.D))
-        self._acc = ext.add(ext.mul(self._acc, alpha), ext.from_base(expr))
+        # collect base-field constraint arrays; the α-fold Σ αⁱ·cᵢ happens
+        # once at the end as a stacked modular matvec (keeps the traced
+        # graph linear in #constraints, not quadratic)
+        self._exprs.append(jnp.broadcast_to(expr, (self._n_lde,)))
         self.count += 1
+
+    def finalize(self):
+        """Σ αⁱ·cᵢ over all collected constraints → (n_lde, 4) BB4 array."""
+        k = len(self._exprs)
+        alpha_pows = _ext_power_table(self._alpha, k)  # (k, 4)
+        stack = jnp.stack(self._exprs, axis=1)  # (n_lde, k)
+        return _fold_columns(stack, alpha_pows)
+
+
+class TensorBuilder:
+    """Fast-path constraint builder: AIRs with lane-structured constraints
+    (``Air.eval_tensor``) emit whole (n_lde, m) residual tensors; the m lane
+    constraints take consecutive α powers in emission order, which must match
+    the scalar ``eval`` enumeration (cross-checked by tests)."""
+
+    def __init__(self, t_lde, nxt, pre, pre_nxt, publics_mont, sels, n_lde):
+        self.local = t_lde  # (n_lde, w) Montgomery
+        self.next = nxt
+        self.pre = pre
+        self.pre_next = pre_nxt
+        self.publics = publics_mont  # (np,) Montgomery
+        self.sel_first = sels["sel_first"]
+        self.sel_last = sels["sel_last"]
+        self.sel_transition = sels["sel_transition"]
+        self._n_lde = n_lde
+        self._groups = []
+        self.count = 0
+
+    def assert_group(self, tensor):
+        if tensor.ndim == 1:
+            tensor = tensor[:, None]
+        self._groups.append(jnp.broadcast_to(tensor, (self._n_lde, tensor.shape[1])))
+        self.count += tensor.shape[1]
+
+    def finalize(self, alpha_mont):
+        stack = jnp.concatenate(self._groups, axis=1)  # (n_lde, k)
+        alpha_pows = _ext_power_table(alpha_mont, stack.shape[1])
+        return _fold_columns(stack, alpha_pows)
 
 
 def _coeffs_to_coset_evals(coeffs, log_blowup: int, shift: int):
@@ -156,7 +206,7 @@ def _coset_evals_to_coeffs(evals, shift: int):
 def _eval_poly_at_ext(coeffs_mont, zeta_mont):
     """Evaluate BabyBear coeff columns (N, w) at a BB4 point → (w, 4).
 
-    Uses powers-of-ζ inner product; the power table is built by log-doubling.
+    Powers-of-ζ inner product; the power table is built by log-doubling.
     """
     n, w = coeffs_mont.shape
     log_n = n.bit_length() - 1
@@ -166,7 +216,6 @@ def _eval_poly_at_ext(coeffs_mont, zeta_mont):
         shifted = ext.mul(powers, jnp.broadcast_to(z, powers.shape))
         powers = jnp.concatenate([powers, shifted], axis=0)
         z = ext.mul(z, z)
-    # sum_i coeffs[i, j] · powers[i]  → (w, 4)
     prods = ext.mul_base(powers[:, None, :], coeffs_mont)  # (n, w, 4)
     return _tree_sum(prods, axis=0)
 
@@ -182,6 +231,187 @@ def _tree_sum(arr, axis):
         arr = jnp.concatenate([bb.add(a, b), rest], axis=axis)
         n = arr.shape[axis]
     return jnp.squeeze(arr, axis=axis)
+
+
+def _ext_power_table(x_mont, k: int):
+    """[x⁰, x¹, …, x^{k-1}] as a (k, 4) Montgomery array (log-doubling)."""
+    powers = ext.ones((1,))
+    z = x_mont[None, :]
+    while powers.shape[0] < k:
+        shifted = ext.mul(powers, jnp.broadcast_to(z, powers.shape))
+        powers = jnp.concatenate([powers, shifted], axis=0)
+        z = ext.mul(z, z)
+    return powers[:k]
+
+
+def _fold_columns(stack, coeffs_ext):
+    """Σᵢ coeffsᵢ·stack[:,i] for base-field columns and BB4 coefficients.
+
+    stack: (n, k) Montgomery BabyBear; coeffs_ext: (k, 4) Montgomery BB4.
+    Returns (n, 4).  One vectorized multiply + tree-sum per ext coordinate.
+    """
+    coords = []
+    for c in range(ext.D):
+        prods = bb.mont_mul(stack, coeffs_ext[None, :, c])  # (n, k)
+        coords.append(_tree_sum(prods, axis=1))
+    return jnp.stack(coords, axis=-1)
+
+
+def _ext_dot(a_ext, b_ext):
+    """Σᵢ aᵢ·bᵢ over (m, 4) BB4 arrays → (4,)."""
+    prods = ext.mul(a_ext, b_ext)  # (m, 4)
+    return _tree_sum(prods, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Jitted phase functions, cached per (air, log_n, config)
+# ---------------------------------------------------------------------------
+
+_PHASE_CACHE: dict = {}
+
+
+def _phases(air: Air, log_n: int, config: StarkConfig):
+    key = (air.cache_key(), log_n, config)
+    hit = _PHASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    n = 1 << log_n
+    width = air.width
+    pre_width = air.preprocessed_width
+    shift = config.shift
+    log_blowup = config.log_blowup
+    n_lde = n << log_blowup
+    blowup = config.blowup
+    tables = _domain_tables(log_n, log_blowup, shift)
+    counter = {}
+
+    @jax.jit
+    def lde_phase(mat_std):
+        """standard-form matrix → coset LDE (Montgomery)."""
+        return coset_lde(bb.to_mont(mat_std), log_blowup, shift, axis=0)
+
+    @jax.jit
+    def quotient_phase(t_lde, p_lde, alpha_mont, publics_mont):
+        if getattr(air, "eval_tensor", None):
+            nxt = jnp.roll(t_lde, -(1 << log_blowup), axis=0)
+            pre_nxt = (
+                jnp.roll(p_lde, -(1 << log_blowup), axis=0) if pre_width else p_lde
+            )
+            builder = TensorBuilder(
+                t_lde, nxt, p_lde, pre_nxt, publics_mont, tables, n_lde
+            )
+            air.eval_tensor(builder)
+        else:
+            cols = [t_lde[:, j] for j in range(width)]
+            nexts = [jnp.roll(c, -(1 << log_blowup)) for c in cols]
+            pre_cols = [p_lde[:, j] for j in range(pre_width)] if pre_width else []
+            pre_nexts = [jnp.roll(c, -(1 << log_blowup)) for c in pre_cols]
+            builder = ProverBuilder(
+                cols, nexts, publics_mont, tables, alpha_mont, n_lde, pre_cols, pre_nexts
+            )
+            air.eval(builder)
+        counter["constraints"] = builder.count
+        quotient = ext.mul_base(
+            builder.finalize(alpha_mont) if isinstance(builder, TensorBuilder) else builder.finalize(),
+            tables["zh_inv"],
+        )  # (n_lde, 4)
+        q_coeffs = _coset_evals_to_coeffs(quotient, shift)
+        chunks = [q_coeffs[k * n : (k + 1) * n] for k in range(blowup)]
+        chunk_evals = [_coeffs_to_coset_evals(c, log_blowup, shift) for c in chunks]
+        q_matrix = jnp.concatenate(chunk_evals, axis=1)  # (n_lde, 4·blowup)
+        q_col_coeffs = jnp.concatenate(chunks, axis=1)  # (n, 4·blowup)
+        return q_matrix, q_col_coeffs
+
+    @jax.jit
+    def openings_phase(t_lde, p_lde, q_col_coeffs, zeta_mont, gzeta_mont):
+        t_coeffs = _coset_evals_to_coeffs(t_lde, shift)[:n]
+        cols = [t_coeffs, q_col_coeffs]
+        if pre_width:
+            p_coeffs = _coset_evals_to_coeffs(p_lde, shift)[:n]
+            cols.append(p_coeffs)
+        all_coeffs = jnp.concatenate(cols, axis=1)  # (n, w + 4b [+ pw])
+        # p_j(pt) = Σ_i c_{i,j}·ptⁱ — one powers table per point, one fold
+        pow_z = _ext_power_table(zeta_mont, n)
+        pow_gz = _ext_power_table(gzeta_mont, n)
+        at_z = _fold_columns(all_coeffs.T, pow_z)  # (w_total, 4)
+        at_gz = _fold_columns(all_coeffs.T, pow_gz)
+        out = {
+            "t_zeta": at_z[:width],
+            "t_gzeta": at_gz[:width],
+            "q_zeta": at_z[width : width + 4 * blowup],
+        }
+        if pre_width:
+            out["p_zeta"] = at_z[width + 4 * blowup :]
+            out["p_gzeta"] = at_gz[width + 4 * blowup :]
+        return out
+
+    @jax.jit
+    def deep_phase(t_lde, p_lde, q_matrix, opened, zeta_mont, gzeta_mont, gamma_mont):
+        """G = Σᵢ γⁱ(colᵢ − oᵢ)/(x − ptᵢ), grouped by opening point so each
+        group is one stacked fold: Σγⁱcolᵢ and Σγⁱoᵢ computed separately."""
+        x_ext = ext.from_base(tables["x"])
+        inv_z = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_mont, x_ext.shape)))
+        inv_gz = ext.inv(ext.sub(x_ext, jnp.broadcast_to(gzeta_mont, x_ext.shape)))
+
+        # column enumeration (must match the verifier's γ-power order):
+        # p@ζ, p@gζ, t@ζ, t@gζ, q@ζ
+        z_cols, z_opened, gz_cols, gz_opened = [], [], [], []
+        for j in range(pre_width):
+            z_cols.append(p_lde[:, j])
+            z_opened.append(opened["p_zeta"][j])
+        for j in range(pre_width):
+            gz_cols.append(p_lde[:, j])
+            gz_opened.append(opened["p_gzeta"][j])
+        for j in range(width):
+            z_cols.append(t_lde[:, j])
+            z_opened.append(opened["t_zeta"][j])
+        for j in range(width):
+            gz_cols.append(t_lde[:, j])
+            gz_opened.append(opened["t_gzeta"][j])
+        for j in range(4 * blowup):
+            z_cols.append(q_matrix[:, j])
+            z_opened.append(opened["q_zeta"][j])
+
+        total = 2 * pre_width + 2 * width + 4 * blowup
+        gamma_pows = _ext_power_table(gamma_mont, total)
+        # γ exponents: the ζ group takes indices [0:pw) ∪ [2pw:2pw+w) ∪ tail,
+        # interleaved with the gζ group — build index lists statically.
+        z_idx = (
+            list(range(0, pre_width))
+            + list(range(2 * pre_width, 2 * pre_width + width))
+            + list(range(2 * pre_width + 2 * width, total))
+        )
+        gz_idx = list(range(pre_width, 2 * pre_width)) + list(
+            range(2 * pre_width + width, 2 * pre_width + 2 * width)
+        )
+
+        def group(cols, opened_vals, idx, inv_den):
+            coeffs = gamma_pows[jnp.asarray(idx, jnp.int32)]  # (m, 4)
+            stack = jnp.stack(cols, axis=1)  # (n_lde, m)
+            folded_cols = _fold_columns(stack, coeffs)  # (n_lde, 4)
+            o_stack = jnp.stack(opened_vals, axis=0)  # (m, 4) BB4
+            folded_o = _ext_dot(coeffs, o_stack)  # (4,)
+            num = ext.sub(folded_cols, jnp.broadcast_to(folded_o, folded_cols.shape))
+            return ext.mul(num, inv_den)
+
+        G = group(z_cols, z_opened, z_idx, inv_z)
+        if gz_idx:
+            G = ext.add(G, group(gz_cols, gz_opened, gz_idx, inv_gz))
+        return G
+
+    fns = dict(
+        lde=lde_phase,
+        quotient=quotient_phase,
+        openings=openings_phase,
+        deep=deep_phase,
+        counter=counter,
+    )
+    _PHASE_CACHE[key] = fns
+    return fns
+
+
+_EMPTY = jnp.zeros((0,), jnp.uint32)
 
 
 def prove(
@@ -201,59 +431,64 @@ def prove(
     publics = [int(v) % bb.P for v in public_values]
     if len(publics) != air.num_public_values:
         raise ValueError("wrong number of public values")
-    shift = config.shift
-    log_blowup = config.log_blowup
-    n_lde = n << log_blowup
+    pre_width = air.preprocessed_width
+    n_lde = n << config.log_blowup
+    fns = _phases(air, log_n, config)
 
     challenger = DuplexChallenger()
     challenger.observe(log_n)
     challenger.observe(width)
     challenger.observe_many(publics)
 
+    # 0. preprocessed (fixed) columns — part of the verifying key
+    tree_p = None
+    p_lde = _EMPTY
+    if pre_width:
+        pre = np.asarray(air.preprocessed_trace(n), dtype=np.uint32)
+        assert pre.shape == (n, pre_width)
+        p_lde = fns["lde"](jnp.asarray(pre))
+        tree_p = MerkleTree(p_lde)
+        root_p = tree_p.root
+        challenger.observe_many(root_p.tolist())
+
     # 1. trace LDE + commit
-    t_mont = bb.to_mont(jnp.asarray(trace))
-    t_lde = coset_lde(t_mont, log_blowup, shift, axis=0)  # (n_lde, w)
+    t_lde = fns["lde"](jnp.asarray(trace))
     tree_t = MerkleTree(t_lde)
     root_t = tree_t.root
     challenger.observe_many(root_t.tolist())
     alpha = challenger.sample_ext()
     alpha_mont = ext.to_array_mont([alpha])[0]
+    publics_mont = bb.to_mont(
+        jnp.asarray(np.array(publics or [0], dtype=np.uint32))
+    )
 
-    # 2. constraint quotient on the LDE domain
-    tables = _domain_tables(log_n, log_blowup, shift)
-    cols = [t_lde[:, j] for j in range(width)]
-    nexts = [jnp.roll(c, -(1 << log_blowup)) for c in cols]
-    builder = ProverBuilder(cols, nexts, publics, tables, alpha_mont, n_lde)
-    air.eval(builder)
-    quotient = ext.mul_base(builder._acc, tables["zh_inv"])  # (n_lde, 4) BB4
-
-    # 3. chunk the quotient into `blowup` degree-<N polys, commit their LDEs
-    q_coeffs = _coset_evals_to_coeffs(quotient, shift)  # (n_lde, 4)
-    chunks = [
-        q_coeffs[k * n : (k + 1) * n] for k in range(config.blowup)
-    ]  # each (n, 4) BB4-coeff chunks
-    chunk_evals = [
-        _coeffs_to_coset_evals(c, log_blowup, shift) for c in chunks
-    ]  # (n_lde, 4) each
-    q_matrix = jnp.concatenate(chunk_evals, axis=1)  # (n_lde, 4·blowup)
+    # 2.–3. constraint quotient + chunk commitments
+    q_matrix, q_col_coeffs = fns["quotient"](t_lde, p_lde, alpha_mont, publics_mont)
     tree_q = MerkleTree(q_matrix)
     root_q = tree_q.root
     challenger.observe_many(root_q.tolist())
     zeta = challenger.sample_ext()
     zeta_mont = ext.to_array_mont([zeta])[0]
-
-    # 4. openings at ζ and g·ζ
     g = bb.two_adic_generator(log_n)
     gzeta = ext.s_mul_base(zeta, g)
     gzeta_mont = ext.to_array_mont([gzeta])[0]
-    t_coeffs = _coset_evals_to_coeffs(t_lde, shift)  # degree < n: high part zero
-    t_coeffs_low = t_coeffs[:n]
-    opened_t_zeta = ext.from_array_mont(_eval_poly_at_ext(t_coeffs_low, zeta_mont))
-    opened_t_gzeta = ext.from_array_mont(_eval_poly_at_ext(t_coeffs_low, gzeta_mont))
-    q_cols = q_matrix  # (n_lde, 4b) — evaluate each column at ζ
-    q_col_coeffs = jnp.concatenate([chunks[k] for k in range(config.blowup)], axis=1)
-    opened_q_zeta = ext.from_array_mont(_eval_poly_at_ext(q_col_coeffs, zeta_mont))
 
+    # 4. openings at ζ and g·ζ
+    opened = fns["openings"](t_lde, p_lde, q_col_coeffs, zeta_mont, gzeta_mont)
+    opened_t_zeta = ext.from_array_mont(opened["t_zeta"])
+    opened_t_gzeta = ext.from_array_mont(opened["t_gzeta"])
+    opened_q_zeta = ext.from_array_mont(opened["q_zeta"])
+    if pre_width:
+        opened_p_zeta = ext.from_array_mont(opened["p_zeta"])
+        opened_p_gzeta = ext.from_array_mont(opened["p_gzeta"])
+    else:
+        opened_p_zeta = []
+        opened_p_gzeta = []
+
+    for v in opened_p_zeta:
+        challenger.observe_ext(v)
+    for v in opened_p_gzeta:
+        challenger.observe_ext(v)
     for v in opened_t_zeta:
         challenger.observe_ext(v)
     for v in opened_t_gzeta:
@@ -264,40 +499,21 @@ def prove(
     gamma_mont = ext.to_array_mont([gamma])[0]
 
     # 5. DEEP codeword G over the LDE domain
-    x = tables["x"]  # BabyBear (n_lde,)
-    x_ext = ext.from_base(x)
-    inv_x_zeta = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_mont, x_ext.shape)))
-    inv_x_gzeta = ext.inv(ext.sub(x_ext, jnp.broadcast_to(gzeta_mont, x_ext.shape)))
-
-    gpow = ext.ones((1,))[0]
-    G = ext.zeros((n_lde,))
-    opened_all = []
-
-    def accum(G, gpow, col_vals_base, opened_scalar, inv_den):
-        opened_m = ext.to_array_mont([opened_scalar])[0]
-        num = ext.sub(ext.from_base(col_vals_base), jnp.broadcast_to(opened_m, (n_lde, ext.D)))
-        term = ext.mul(num, inv_den)
-        G = ext.add(G, ext.mul(jnp.broadcast_to(gpow, term.shape), term))
-        gpow = ext.mul(gpow[None], gamma_mont[None])[0]
-        return G, gpow
-
-    for j in range(width):
-        G, gpow = accum(G, gpow, t_lde[:, j], opened_t_zeta[j], inv_x_zeta)
-    for j in range(width):
-        G, gpow = accum(G, gpow, t_lde[:, j], opened_t_gzeta[j], inv_x_gzeta)
-    for j in range(4 * config.blowup):
-        G, gpow = accum(G, gpow, q_matrix[:, j], opened_q_zeta[j], inv_x_zeta)
+    G = fns["deep"](t_lde, p_lde, q_matrix, opened, zeta_mont, gzeta_mont, gamma_mont)
 
     # 6. FRI on G
-    fri_proof = fri_prove(G, shift, config.fri, challenger)
+    fri_proof = fri_prove(G, config.shift, config.fri, challenger)
 
     # 7. per-query outer openings (both halves of each round-0 leaf pair)
     half = n_lde // 2
     openings = []
+    trees = [("t", tree_t), ("q", tree_q)]
+    if tree_p is not None:
+        trees.insert(0, ("p", tree_p))
     for q in fri_proof["queries"]:
         li = int(q["index"])
         rows = {}
-        for name, tree in (("t", tree_t), ("q", tree_q)):
+        for name, tree in trees:
             row0, path0 = tree.open(li)
             row1, path1 = tree.open(li + half)
             rows[name] = {
@@ -306,7 +522,7 @@ def prove(
             }
         openings.append(rows)
 
-    return {
+    proof = {
         "version": 1,
         "log_n": log_n,
         "width": width,
@@ -318,5 +534,28 @@ def prove(
         "opened_q_zeta": [list(v) for v in opened_q_zeta],
         "fri": fri_proof,
         "query_openings": openings,
-        "constraint_count": builder.count,
+        "constraint_count": fns["counter"].get("constraints"),
     }
+    if pre_width:
+        proof["root_p"] = [int(v) for v in root_p]
+        proof["opened_p_zeta"] = [list(v) for v in opened_p_zeta]
+        proof["opened_p_gzeta"] = [list(v) for v in opened_p_gzeta]
+    return proof
+
+
+_PRE_COMMIT_CACHE: dict = {}
+
+
+def preprocessed_commitment(air: Air, log_n: int, config: StarkConfig):
+    """Verifying-key material: the Merkle root of the AIR's preprocessed
+    columns at the given size (deterministic; cached per AIR/size/config)."""
+    if not air.preprocessed_width:
+        return None
+    key = (air.cache_key(), log_n, config)
+    hit = _PRE_COMMIT_CACHE.get(key)
+    if hit is None:
+        n = 1 << log_n
+        pre = np.asarray(air.preprocessed_trace(n), dtype=np.uint32)
+        p_lde = _phases(air, log_n, config)["lde"](jnp.asarray(pre))
+        hit = _PRE_COMMIT_CACHE[key] = [int(v) for v in MerkleTree(p_lde).root]
+    return hit

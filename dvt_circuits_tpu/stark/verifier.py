@@ -29,12 +29,15 @@ class VerifierBuilder(AirBuilder):
 
     P = bb.P
 
-    def __init__(self, t_zeta, t_gzeta, publics, sels, alpha):
+    def __init__(self, t_zeta, t_gzeta, publics, sels, alpha, p_zeta=(), p_gzeta=()):
         self._t_zeta = t_zeta
         self._t_gzeta = t_gzeta
+        self._p_zeta = p_zeta
+        self._p_gzeta = p_gzeta
         self._publics = publics
         self._sels = sels
         self._alpha = alpha
+        self._alpha_pow = ext.S_ONE
         self._acc = ext.S_ZERO
         self.count = 0
 
@@ -43,6 +46,12 @@ class VerifierBuilder(AirBuilder):
 
     def _next(self, j):
         return self._t_gzeta[j]
+
+    def _pre(self, j):
+        return self._p_zeta[j]
+
+    def _pre_next(self, j):
+        return self._p_gzeta[j]
 
     def _public(self, i):
         return ext.s_from_base(self._publics[i])
@@ -69,7 +78,9 @@ class VerifierBuilder(AirBuilder):
         return self._sels["transition"]
 
     def _accumulate(self, expr):
-        self._acc = ext.s_add(ext.s_mul(self._acc, self._alpha), expr)
+        # Σ αⁱ·cᵢ in assertion order (matches the prover's stacked fold)
+        self._acc = ext.s_add(self._acc, ext.s_mul(self._alpha_pow, expr))
+        self._alpha_pow = ext.s_mul(self._alpha_pow, self._alpha)
         self.count += 1
 
 
@@ -103,14 +114,36 @@ def verify(air: Air, proof: dict, public_values: Sequence[int], config: StarkCon
     log_blowup = config.log_blowup
     n_lde = n << log_blowup
 
+    pre_width = air.preprocessed_width
+    if pre_width:
+        from .prover import preprocessed_commitment
+
+        root_p = preprocessed_commitment(air, log_n, config)
+        if [int(v) for v in proof.get("root_p", [])] != root_p:
+            raise StarkError("preprocessed commitment mismatch")
+        opened_p_zeta = [tuple(int(x) % bb.P for x in v) for v in proof["opened_p_zeta"]]
+        opened_p_gzeta = [tuple(int(x) % bb.P for x in v) for v in proof["opened_p_gzeta"]]
+        if len(opened_p_zeta) != pre_width or len(opened_p_gzeta) != pre_width:
+            raise StarkError("wrong number of preprocessed openings")
+    else:
+        root_p = None
+        opened_p_zeta = []
+        opened_p_gzeta = []
+
     challenger = DuplexChallenger()
     challenger.observe(log_n)
     challenger.observe(width)
     challenger.observe_many(publics)
+    if root_p is not None:
+        challenger.observe_many(root_p)
     challenger.observe_many(root_t)
     alpha = challenger.sample_ext()
     challenger.observe_many(root_q)
     zeta = challenger.sample_ext()
+    for v in opened_p_zeta:
+        challenger.observe_ext(v)
+    for v in opened_p_gzeta:
+        challenger.observe_ext(v)
     for v in opened_t_zeta:
         challenger.observe_ext(v)
     for v in opened_t_gzeta:
@@ -133,7 +166,9 @@ def verify(air: Air, proof: dict, public_values: Sequence[int], config: StarkCon
         "last": ext.s_mul(z_h, ext.s_inv(denom_last)),
         "transition": denom_last,
     }
-    builder = VerifierBuilder(opened_t_zeta, opened_t_gzeta, publics, sels, alpha)
+    builder = VerifierBuilder(
+        opened_t_zeta, opened_t_gzeta, publics, sels, alpha, opened_p_zeta, opened_p_gzeta
+    )
     air.eval(builder)
     if proof.get("constraint_count") not in (None, builder.count):
         raise StarkError("constraint count mismatch")
@@ -158,17 +193,25 @@ def verify(air: Air, proof: dict, public_values: Sequence[int], config: StarkCon
     w_lde = bb.two_adic_generator(log_n + log_blowup)
     half = n_lde // 2
     gamma_pows = [ext.S_ONE]
-    for _ in range(2 * width + 4 * config.blowup - 1):
+    for _ in range(2 * pre_width + 2 * width + 4 * config.blowup - 1):
         gamma_pows.append(ext.s_mul(gamma_pows[-1], gamma))
 
     query_iter = iter(query_openings)
 
-    def derive_g(x_std: int, t_row, q_row):
+    def derive_g(x_std: int, p_row, t_row, q_row):
         x = ext.s_from_base(x_std)
         inv_z = ext.s_inv(ext.s_sub(x, zeta))
         inv_gz = ext.s_inv(ext.s_sub(x, gzeta))
         acc = ext.S_ZERO
         gi = 0
+        for j in range(pre_width):
+            num = ext.s_sub(ext.s_from_base(p_row[j]), opened_p_zeta[j])
+            acc = ext.s_add(acc, ext.s_mul(gamma_pows[gi], ext.s_mul(num, inv_z)))
+            gi += 1
+        for j in range(pre_width):
+            num = ext.s_sub(ext.s_from_base(p_row[j]), opened_p_gzeta[j])
+            acc = ext.s_add(acc, ext.s_mul(gamma_pows[gi], ext.s_mul(num, inv_gz)))
+            gi += 1
         for j in range(width):
             num = ext.s_sub(ext.s_from_base(t_row[j]), opened_t_zeta[j])
             acc = ext.s_add(acc, ext.s_mul(gamma_pows[gi], ext.s_mul(num, inv_z)))
@@ -188,7 +231,10 @@ def verify(air: Air, proof: dict, public_values: Sequence[int], config: StarkCon
             rows = next(query_iter)
         except StopIteration:
             raise FriError("missing outer openings") from None
-        for name, root, wid in (("t", root_t, width), ("q", root_q, 4 * config.blowup)):
+        matrices = [("t", root_t, width), ("q", root_q, 4 * config.blowup)]
+        if pre_width:
+            matrices.insert(0, ("p", root_p, pre_width))
+        for name, root, wid in matrices:
             for part, idx in (("lo", leaf_index), ("hi", leaf_index + half)):
                 entry = rows[name][part]
                 row = [int(v) for v in entry["row"]]
@@ -196,15 +242,17 @@ def verify(air: Air, proof: dict, public_values: Sequence[int], config: StarkCon
                     raise FriError("malformed outer opening row")
                 if not verify_opening(root, idx, row, entry["path"]):
                     raise FriError(f"bad outer Merkle opening ({name}/{part})")
+        p_lo = [int(v) for v in rows["p"]["lo"]["row"]] if pre_width else []
+        p_hi = [int(v) for v in rows["p"]["hi"]["row"]] if pre_width else []
         t_lo = [int(v) for v in rows["t"]["lo"]["row"]]
         t_hi = [int(v) for v in rows["t"]["hi"]["row"]]
         q_lo = [int(v) for v in rows["q"]["lo"]["row"]]
         q_hi = [int(v) for v in rows["q"]["hi"]["row"]]
         x_lo = shift * pow(w_lde, leaf_index, bb.P) % bb.P
         x_hi = shift * pow(w_lde, leaf_index + half, bb.P) % bb.P
-        if derive_g(x_lo, t_lo, q_lo) != values[0]:
+        if derive_g(x_lo, p_lo, t_lo, q_lo) != values[0]:
             raise FriError("DEEP codeword mismatch (lo)")
-        if derive_g(x_hi, t_hi, q_hi) != values[1]:
+        if derive_g(x_hi, p_hi, t_hi, q_hi) != values[1]:
             raise FriError("DEEP codeword mismatch (hi)")
 
     try:

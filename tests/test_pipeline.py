@@ -1,0 +1,151 @@
+"""Proof pipeline + CLI tests (in-process, warm jit cache shared)."""
+
+import json
+import os
+
+import pytest
+
+from dvt_circuits_tpu import cli
+from dvt_circuits_tpu.circuits.registry import get_circuit
+from dvt_circuits_tpu.prover.pipeline import (
+    ProveError,
+    VerifyError,
+    load_proof,
+    prove_circuit,
+    save_proof,
+    verify_proof,
+)
+from dvt_circuits_tpu.stark.config import TEST_CONFIG
+
+VEC = "/root/reference/test_vectors/auth/share/seeds-commitment-from-2-to-1-bad-base-hash.json"
+VALID_VEC = "/root/reference/test_vectors/auth/share/seeds-commitment-from-1-to-1.json"
+
+
+def _load(path):
+    return json.load(open(path))["scenario"]
+
+
+@pytest.fixture(scope="module")
+def bad_share_data():
+    spec = get_circuit("bad-share")
+    return spec.data_type.from_json(_load(VEC), spec.setup.layout, True)
+
+
+@pytest.fixture(scope="module")
+def container(bad_share_data):
+    return prove_circuit("bad-share", bad_share_data, True, TEST_CONFIG)
+
+
+class TestPipeline:
+    def test_prove_verify_roundtrip(self, container):
+        assert verify_proof(container)
+        assert verify_proof(container, "bad-share")
+
+    def test_wrong_circuit_rejected(self, container):
+        with pytest.raises(VerifyError):
+            verify_proof(container, "finalization")
+
+    def test_tampered_stream_rejected(self, container):
+        bad = dict(container)
+        stream = bytearray(bytes.fromhex(bad["public_values"]))
+        stream[0] ^= 1
+        bad["public_values"] = bytes(stream).hex()
+        with pytest.raises(VerifyError):
+            verify_proof(bad)
+
+    def test_weak_config_rejected(self, container):
+        bad = dict(container)
+        bad["config"] = dict(bad["config"], num_queries=1)
+        with pytest.raises(VerifyError):
+            verify_proof(bad)
+
+    def test_save_load(self, container, tmp_path):
+        path = str(tmp_path / "proof.bin")
+        save_proof(container, path)
+        loaded = load_proof(path)
+        assert loaded["circuit"] == container["circuit"]
+        assert verify_proof(loaded)
+
+    def test_unprovable_input_fails(self):
+        spec = get_circuit("bad-share")
+        data = spec.data_type.from_json(_load(VALID_VEC), spec.setup.layout, True)
+        with pytest.raises(ProveError):
+            prove_circuit("bad-share", data, True, TEST_CONFIG)
+
+
+class TestCli:
+    def _scenario_file(self, tmp_path, src):
+        p = tmp_path / "scenario.json"
+        p.write_text(json.dumps(_load(src)))
+        return str(p)
+
+    def test_execute_exit_codes(self, tmp_path):
+        f = self._scenario_file(tmp_path, VEC)
+        assert cli.run(["--auth-commitment", "execute", "--type=bad-share", "-i", f]) == 0
+        f2 = self._scenario_file(tmp_path, VALID_VEC)
+        assert cli.run(["--auth-commitment", "execute", "--type=bad-share", "-i", f2]) == 1
+
+    def test_get_schema_matches_spec(self, capsys):
+        assert cli.run(["--auth-commitment", "get-schema", "--type=bad-share", "--schema-type=json"]) == 0
+        out = capsys.readouterr().out
+        got = json.loads(out)
+        ref = json.load(open("/root/reference/spec/json/share_exchange_spec.json"))
+        assert got == ref
+
+    def test_validate_schema(self, tmp_path):
+        f = self._scenario_file(tmp_path, VEC)
+        schema = tmp_path / "schema.json"
+        schema.write_text(
+            open("/root/reference/spec/json/share_exchange_spec.json").read()
+        )
+        assert cli.run(["validate-schema", "-s", str(schema), "-j", f]) == 0
+        bad = tmp_path / "bad.json"
+        bad.write_text('{"wrong": 1}')
+        assert cli.run(["validate-schema", "-s", str(schema), "-j", str(bad)]) == 1
+
+    def test_prove_verify_cli(self, tmp_path):
+        f = self._scenario_file(tmp_path, VEC)
+        proof = str(tmp_path / "p.bin")
+        rc = cli.run(
+            ["--auth-commitment", "prove", "--type=bad-share", "-i", f, "-o", proof,
+             "--num-queries=12", "--pow-bits=6"]
+        )
+        assert rc == 0 and os.path.exists(proof)
+        assert cli.run(["--auth-commitment", "verify", "--type=bad-share", "-i", proof]) == 0
+        assert cli.run(["--auth-commitment", "verify", "--type=finalization", "-i", proof]) == 1
+
+
+class TestService:
+    def test_routes(self, bad_share_data):
+        import threading
+        import urllib.request
+
+        from dvt_circuits_tpu.service.node import make_server
+
+        srv = make_server("127.0.0.1", 0, True)
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/execute/bad-share/spec"
+            ) as r:
+                body = json.loads(r.read())
+            assert body["status"] == "ok" and body["schema"]["title"] == "SharedData"
+
+            payload = json.dumps(bad_share_data.to_json(True)).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/execute/bad-share", data=payload, method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())["status"] == "executed"
+
+            # invalid body → 500
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/execute/bad-share", data=b"{}", method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 500
+        finally:
+            srv.shutdown()
