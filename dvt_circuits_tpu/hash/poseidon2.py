@@ -133,7 +133,20 @@ def _s_internal_linear(state):
 
 
 def s_permute(state):
-    """Scalar Poseidon2 permutation on a list of 16 standard-form ints."""
+    """Scalar Poseidon2 permutation on a list of 16 standard-form ints.
+
+    Dispatches to the native host library (native/dvt_native.cpp) when built
+    — the challenger and Merkle-opening verification hot path — with the
+    pure-Python body as the reference fallback."""
+    from ..utils import native
+
+    out = native.s_permute_native(state)
+    if out is not None:
+        return out
+    return _s_permute_py(state)
+
+
+def _s_permute_py(state):
     assert len(state) == WIDTH
     state = _s_external_linear([x % bb.P for x in state])
     for r in range(ROUNDS_F // 2):

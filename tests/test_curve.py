@@ -1,0 +1,89 @@
+"""TPU-vectorized BLS12-381 (curve/) vs the host implementation (which is
+itself pinned by the reference's golden vectors).
+
+The scalar-multiplication/MSM programs compile 256-round point-op bodies —
+minutes of XLA CPU compile — so they only run with DVT_HEAVY_TESTS=1
+(tests/test_curve.py keeps the field + point-op layers in the default
+suite)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from dvt_circuits_tpu.curve import fp, g1
+from dvt_circuits_tpu.hostcrypto import bls12_381 as host
+from dvt_circuits_tpu.parallel.mesh import make_mesh
+
+HEAVY = os.environ.get("DVT_HEAVY_TESTS") == "1"
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(5)
+
+
+class TestFp:
+    def test_ops_match_ints(self, rng):
+        vals_a = [int.from_bytes(rng.bytes(47), "big") % host.P for _ in range(32)]
+        vals_a += [0, 1, host.P - 1, host.P - 2]
+        vals_b = [int.from_bytes(rng.bytes(47), "big") % host.P for _ in range(32)]
+        vals_b += [host.P - 1, 0, host.P - 1, 1]
+        A, B = fp.from_ints(vals_a), fp.from_ints(vals_b)
+        assert fp.to_ints(A) == vals_a
+        assert fp.to_ints(fp.mont_mul(A, B)) == [a * b % host.P for a, b in zip(vals_a, vals_b)]
+        assert fp.to_ints(fp.add(A, B)) == [(a + b) % host.P for a, b in zip(vals_a, vals_b)]
+        assert fp.to_ints(fp.sub(A, B)) == [(a - b) % host.P for a, b in zip(vals_a, vals_b)]
+        assert fp.to_ints(fp.neg(A)) == [(-a) % host.P for a in vals_a]
+
+    def test_inverse(self, rng):
+        vals = [int.from_bytes(rng.bytes(40), "big") % host.P for _ in range(4)]
+        inv = fp.to_ints(fp.inv(fp.from_ints(vals)))
+        for a, ia in zip(vals, inv):
+            assert a * ia % host.P == 1
+
+
+class TestG1:
+    @pytest.fixture(scope="class")
+    def points(self, ):
+        rng = np.random.default_rng(6)
+        ks = [int.from_bytes(rng.bytes(31), "big") % host.R for _ in range(4)]
+        return [host.g1_mul(host.G1_GEN, k) for k in ks]
+
+    def test_add_double_exceptions(self, points):
+        P = g1.from_affine_points(points)
+        Q = g1.from_affine_points(points[1:] + points[:1])
+        assert g1.to_affine_points(g1.add_jit(P, Q)) == [
+            host.g1_add(a, b) for a, b in zip(points, points[1:] + points[:1])
+        ]
+        dbl = [host.g1_add(a, a) for a in points]
+        assert g1.to_affine_points(g1.double_jit(P)) == dbl
+        assert g1.to_affine_points(g1.add_jit(P, P)) == dbl  # P == Q
+        negs = g1.from_affine_points([host.g1_neg(a) for a in points])
+        assert g1.to_affine_points(g1.add_jit(P, negs)) == [None] * 4  # P == −Q
+        assert g1.to_affine_points(g1.add_jit(P, g1.identity((4,)))) == points
+
+    @pytest.mark.skipif(not HEAVY, reason="256-round MSM compile; DVT_HEAVY_TESTS=1")
+    def test_msm_matches_host(self, points):
+        rng = np.random.default_rng(7)
+        sc = [int.from_bytes(rng.bytes(16), "big") for _ in range(4)]
+        got = g1.msm(points, sc)
+        want = None
+        for p, s in zip(points, sc):
+            want = host.g1_add(want, host.g1_mul(p, s))
+        assert got == want
+
+    @pytest.mark.skipif(
+        not HEAVY or len(jax.devices()) < 4,
+        reason="sharded MSM compile; DVT_HEAVY_TESTS=1 + multi-device mesh",
+    )
+    def test_dist_msm(self, points):
+        rng = np.random.default_rng(8)
+        sc = [int.from_bytes(rng.bytes(16), "big") for _ in range(4)]
+        mesh = make_mesh({"sp": 4}, devices=jax.devices()[:4])
+        got = g1.dist_msm(points, sc, mesh)
+        want = None
+        for p, s in zip(points, sc):
+            want = host.g1_add(want, host.g1_mul(p, s))
+        assert got == want
