@@ -1,0 +1,39 @@
+# Developer UX mirroring the reference's Makefile (test / gen-spec targets)
+# plus the TPU build's own: native library, bench, examples.
+
+PY ?= python
+
+.PHONY: test test-fast heavy-test native gen-spec examples bench clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q --ignore=tests/test_golden_vectors.py
+
+heavy-test:
+	DVT_HEAVY_TESTS=1 $(PY) -m pytest tests/test_curve.py -q
+
+native:
+	g++ -O3 -shared -fPIC -o native/dvt_native.so native/dvt_native.cpp
+
+# regenerate the four schema files (auth variant, like script/gen_spec.sh)
+gen-spec:
+	mkdir -p spec/json spec/yaml
+	$(PY) -m dvt_circuits_tpu.cli --auth-commitment get-schema --type=bad-share --schema-type=json -o spec/json/share_exchange_spec.json
+	$(PY) -m dvt_circuits_tpu.cli --auth-commitment get-schema --type=finalization --schema-type=json -o spec/json/finalization_spec.json
+	$(PY) -m dvt_circuits_tpu.cli --auth-commitment get-schema --type=bad-partial-key --schema-type=json -o spec/json/bad_partial_key_spec.json
+	$(PY) -m dvt_circuits_tpu.cli --auth-commitment get-schema --type=bad-encrypted-share --schema-type=json -o spec/json/bad_encrypted_partial_key_spec.json
+	$(PY) -m dvt_circuits_tpu.cli --auth-commitment get-schema --type=bad-share --schema-type=yaml -o spec/yaml/share_exchange_spec.yaml
+	$(PY) -m dvt_circuits_tpu.cli --auth-commitment get-schema --type=finalization --schema-type=yaml -o spec/yaml/finalization.yaml
+	$(PY) -m dvt_circuits_tpu.cli --auth-commitment get-schema --type=bad-partial-key --schema-type=yaml -o spec/yaml/bad_partial_key.yaml
+	$(PY) -m dvt_circuits_tpu.cli --auth-commitment get-schema --type=bad-encrypted-share --schema-type=yaml -o spec/yaml/bad_encrypted_partial_key_spec.yaml
+
+examples:
+	$(PY) scripts/run_all_examples.py
+
+bench:
+	$(PY) bench.py
+
+clean:
+	rm -rf native/*.so **/__pycache__ .pytest_cache

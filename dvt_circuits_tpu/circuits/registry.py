@@ -27,6 +27,22 @@ class CircuitSpec:
     setup: type  # DKG setup bundle
     schema_name: str  # schemars root title
     spec_file: str  # generated schema file stem (script/gen_spec.sh)
+    module: object = None  # circuit module exposing run(setup, ctx, input, auth)
+
+    def with_setup(self, setup_cls) -> "CircuitSpec":
+        """Variant bound to a different DKG setup (e.g. BLS identity keys —
+        the reference's guests are setup-generic too, but its host pins
+        BlsDkgWithSecp256kCommitment; this extension unpins it)."""
+        if setup_cls is self.setup:
+            return self
+        if self.module is None or not hasattr(self.module, "run"):
+            return self  # finalization is all-BLS already
+        from dataclasses import replace
+        from functools import partial
+
+        return replace(
+            self, setup=setup_cls, guest=partial(self.module.run, setup_cls)
+        )
 
 
 CIRCUITS = {
@@ -37,6 +53,7 @@ CIRCUITS = {
         setup=BlsDkgWithSecp256kCommitment,
         schema_name="SharedData",
         spec_file="share_exchange_spec",
+        module=bad_share,
     ),
     "finalization": CircuitSpec(
         name="finalization",
@@ -45,6 +62,7 @@ CIRCUITS = {
         setup=BlsDkgWithBlsCommitment,
         schema_name="FinalizationData",
         spec_file="finalization_spec",
+        module=finalization,
     ),
     "bad-partial-key": CircuitSpec(
         name="bad-partial-key",
@@ -53,6 +71,7 @@ CIRCUITS = {
         setup=BlsDkgWithSecp256kCommitment,
         schema_name="BadPartialShareData",
         spec_file="bad_partial_key_spec",
+        module=bad_partial_key,
     ),
     "bad-encrypted-share": CircuitSpec(
         name="bad-encrypted-share",
@@ -61,13 +80,24 @@ CIRCUITS = {
         setup=BlsDkgWithSecp256kCommitment,
         schema_name="BadEncryptedShare",
         spec_file="bad_encrypted_partial_key_spec",
+        module=bad_encrypted_share,
     ),
 }
 
+SETUPS = {
+    "secp-commitment": BlsDkgWithSecp256kCommitment,
+    "bls-commitment": BlsDkgWithBlsCommitment,
+}
 
-def get_circuit(name: str) -> CircuitSpec:
+
+def get_circuit(name: str, setup: str = "secp-commitment") -> CircuitSpec:
     if name not in CIRCUITS:
         raise KeyError(
             f"unknown circuit type {name!r}; expected one of {sorted(CIRCUITS)}"
         )
-    return CIRCUITS[name]
+    spec = CIRCUITS[name]
+    if name == "finalization":
+        return spec  # the finalization circuit is pinned to the all-BLS setup
+    if setup not in SETUPS:
+        raise KeyError(f"unknown setup {setup!r}; expected one of {sorted(SETUPS)}")
+    return spec.with_setup(SETUPS[setup])

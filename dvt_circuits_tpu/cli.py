@@ -69,8 +69,8 @@ def _validate_if_needed(schema_path, json_path):
         raise CliError(f"Schema validation error: {e}") from None
 
 
-def _load_typed(circuit_name: str, path: str, auth: bool):
-    spec = get_circuit(circuit_name)
+def _load_typed(circuit_name: str, path: str, auth: bool, setup: str = "secp-commitment"):
+    spec = get_circuit(circuit_name, setup)
     raw = _read_json(path)
     try:
         return spec.data_type.from_json(raw, spec.setup.layout, auth)
@@ -95,6 +95,12 @@ def _add_common(p, with_schema=True):
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="dvt-prover", description=__doc__)
+    ap.add_argument(
+        "--setup",
+        choices=["secp-commitment", "bls-commitment"],
+        default="secp-commitment",
+        help="identity-cryptography setup (the reference host pins secp)",
+    )
     ap.add_argument(
         "--auth-commitment",
         action="store_true",
@@ -142,8 +148,8 @@ def run(argv=None) -> int:
     try:
         if args.command == "execute":
             _validate_if_needed(args.json_schema, args.input_file)
-            data = _load_typed(args.subtype, args.input_file, auth)
-            result = execute_circuit(args.subtype, data, auth)
+            data = _load_typed(args.subtype, args.input_file, auth, args.setup)
+            result = execute_circuit(args.subtype, data, auth, args.setup)
             if result.exit_code != 0:
                 print(_style_error(f"Verification failed: {result.panic_message}"))
                 return 1
@@ -157,9 +163,11 @@ def run(argv=None) -> int:
 
         if args.command == "prove":
             _validate_if_needed(args.json_schema, args.input_file)
-            data = _load_typed(args.subtype, args.input_file, auth)
+            data = _load_typed(args.subtype, args.input_file, auth, args.setup)
             try:
-                container = prove_circuit(args.subtype, data, auth, _stark_config(args))
+                container = prove_circuit(
+                    args.subtype, data, auth, _stark_config(args), args.setup
+                )
             except ProveError as e:
                 print(_style_error(f"Proof generation failed: {e}"))
                 return 1

@@ -51,16 +51,23 @@ class VerifyError(RuntimeError):
     pass
 
 
-def execute_circuit(circuit_name: str, data, auth: bool) -> GuestResult:
+def execute_circuit(
+    circuit_name: str, data, auth: bool, setup: str = "secp-commitment"
+) -> GuestResult:
     """CBOR-encode typed data and run the witness program (execute mode)."""
-    spec = get_circuit(circuit_name)
+    spec = get_circuit(circuit_name, setup)
     payload = cbor.encode(data.to_json(auth))
     return run_guest(spec.guest, payload, auth)
 
 
-def _stream_words(circuit_name: str, auth: bool, stream: bytes) -> list:
+def _stream_words(circuit_name: str, auth: bool, setup: str, stream: bytes) -> list:
     """Absorption stream: circuit-identity header + byte stream as words."""
-    header = [_CIRCUIT_IDS[circuit_name], int(auth), len(stream)]
+    header = [
+        _CIRCUIT_IDS[circuit_name],
+        int(auth),
+        int(setup == "bls-commitment"),
+        len(stream),
+    ]
     return header + stream_to_words(stream)
 
 
@@ -69,15 +76,16 @@ def prove_circuit(
     data,
     auth: bool,
     config: StarkConfig = DEFAULT_CONFIG,
+    setup: str = "secp-commitment",
 ) -> dict:
     """Execute the witness and produce the binding proof container."""
     t0 = time.time()
-    result = execute_circuit(circuit_name, data, auth)
+    result = execute_circuit(circuit_name, data, auth, setup)
     if result.exit_code != 0:
         raise ProveError(
             f"witness execution failed (guest panic): {result.panic_message}"
         )
-    words = _stream_words(circuit_name, auth, result.public_values)
+    words = _stream_words(circuit_name, auth, setup, result.public_values)
     num_chunks = max(1, -(-len(words) // 8))
     air = Poseidon2StreamAir(num_chunks)
     trace, publics = air.generate_trace(words)
@@ -90,6 +98,7 @@ def prove_circuit(
     return {
         "format": PROOF_FORMAT,
         "circuit": circuit_name,
+        "setup": setup,
         "auth": auth,
         "public_values": result.public_values.hex(),
         "commit_count": result.commit_count,
@@ -115,6 +124,9 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     if circuit_name is not None and name != circuit_name:
         raise VerifyError(f"proof is for circuit {name!r}, expected {circuit_name!r}")
     auth = bool(container.get("auth"))
+    setup = container.get("setup", "secp-commitment")
+    if setup not in ("secp-commitment", "bls-commitment"):
+        raise VerifyError(f"unknown setup {setup!r}")
     try:
         stream = bytes.fromhex(container["public_values"])
     except (KeyError, ValueError) as e:
@@ -135,7 +147,7 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     if config.num_queries < 12 or config.log_blowup < 1:
         raise VerifyError("proof config below minimum security floor")
 
-    words = _stream_words(name, auth, stream)
+    words = _stream_words(name, auth, setup, stream)
     num_chunks = max(1, -(-len(words) // 8))
     air = Poseidon2StreamAir(num_chunks)
     padded = [w % 2013265921 for w in words] + [0] * (8 * num_chunks - len(words))
@@ -149,6 +161,20 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     except (KeyError, TypeError, ValueError) as e:
         raise VerifyError(f"malformed proof: {e}") from None
     return True
+
+
+def prove_batch(
+    circuit_name: str,
+    datas,
+    auth: bool,
+    config: StarkConfig = DEFAULT_CONFIG,
+    setup: str = "secp-commitment",
+) -> list:
+    """Prove a batch of independent scenarios (BASELINE.json's batched
+    multi-proof configuration).  Device phase functions are compiled once
+    per trace shape and reused across the batch; the per-proof transcripts
+    stay independent (each proof verifies standalone)."""
+    return [prove_circuit(circuit_name, d, auth, config, setup) for d in datas]
 
 
 def save_proof(container: dict, path: str) -> None:
