@@ -16,16 +16,31 @@ import time
 import numpy as np
 
 
-def _bench(fn, *args, warmup=2, iters=5):
+def _sync(out):
+    """Force completion: fetch one element to host.  ``block_until_ready``
+    alone does not wait for device execution under the axon TPU tunnel, so a
+    (tiny) device→host read of a value that depends on the result is the
+    only reliable fence."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def _bench(fn, *args, warmup=2, iters=5):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
+    # subtract the sync fence's own round-trip (measured on the warm result)
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    _sync(out)
+    fence = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _sync(out)
+    return max(1e-9, (time.perf_counter() - t0 - fence) / iters)
 
 
 def main():
@@ -34,19 +49,30 @@ def main():
 
     from dvt_circuits_tpu.field import babybear as bb
     from dvt_circuits_tpu.hash.poseidon2 import poseidon2_permute
+    from dvt_circuits_tpu.hash.poseidon2_pallas import permute_lanes
     from dvt_circuits_tpu.ntt import ntt
-    from dvt_circuits_tpu.pcs.merkle import _build_levels
+    from dvt_circuits_tpu.pcs.merkle import build_levels
 
     dev = jax.devices()[0]
+    on_tpu = jax.default_backend() == "tpu"
     print(f"# device: {dev}", file=sys.stderr)
     rng = np.random.default_rng(0)
 
     # --- Poseidon2 permutation throughput ---------------------------------
-    batch = 1 << 17
-    states = jnp.asarray(
-        rng.integers(0, bb.P, size=(batch, 16), dtype=np.uint32)
-    )
-    perm = jax.jit(poseidon2_permute)
+    # On TPU the production layout is transposed (16, N): batch on VPU lanes,
+    # all 22 rounds VMEM-resident (hash/poseidon2_pallas.py, used by the
+    # Merkle tree build).  Elsewhere fall back to the XLA (N, 16) path.
+    batch = 1 << 20 if on_tpu else 1 << 17
+    if on_tpu:
+        states = jnp.asarray(
+            rng.integers(0, bb.P, size=(16, batch), dtype=np.uint32)
+        )
+        perm = permute_lanes
+    else:
+        states = jnp.asarray(
+            rng.integers(0, bb.P, size=(batch, 16), dtype=np.uint32)
+        )
+        perm = jax.jit(poseidon2_permute)
     t = _bench(perm, states)
     perms_per_s = batch / t
     # roofline: ~22k uint32 VPU ops per permutation at ~4e12 int32 op/s (v5e)
@@ -77,7 +103,7 @@ def main():
     mat = bb.to_mont(
         jnp.asarray(rng.integers(0, bb.P, size=(1 << 16, 8), dtype=np.uint32))
     )
-    t_mk = _bench(lambda m: _build_levels(m)[-1], mat)
+    t_mk = _bench(lambda m: build_levels(m)[-1], mat)
     leaves_per_s = (1 << 16) / t_mk
     print(
         f"# merkle 2^16 leaves: {t_mk*1e3:.2f} ms, {leaves_per_s:.3e} leaves/s",

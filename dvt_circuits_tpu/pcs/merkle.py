@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..field import babybear as bb
 from ..hash.poseidon2 import DIGEST_WIDTH, RATE, WIDTH, poseidon2_permute, s_permute
+from ..hash.poseidon2_pallas import BLOCK, permute_lanes
 
 
 def hash_rows(matrix):
@@ -55,6 +56,63 @@ def _build_levels(matrix):
     return tuple(levels)
 
 
+# ---------------------------------------------------------------------------
+# Transposed-lane (Pallas) tree build: TPU hot path
+# ---------------------------------------------------------------------------
+# States live as (16, N) so the batch rides the 128-wide VPU lanes and every
+# permutation's 22 rounds stay resident in VMEM (hash/poseidon2_pallas.py).
+# The whole tree is built in this layout — one transpose in, one per level
+# out — and is bit-identical to ``_build_levels`` (tested on hardware).
+
+
+def _permute_t(state_t):
+    """(16, n) → (16, n) permutation, padding lanes to a BLOCK multiple."""
+    n = state_t.shape[1]
+    pad = (-n) % BLOCK
+    if pad:
+        state_t = jnp.pad(state_t, ((0, 0), (0, pad)))
+    out = permute_lanes(state_t)
+    return out[:, :n] if pad else out
+
+
+def _hash_rows_t(matrix_t):
+    """Sponge-hash columns of a (w, n) transposed matrix → (8, n)."""
+    w, n = matrix_t.shape
+    state = jnp.zeros((WIDTH, n), jnp.uint32)
+    for off in range(0, w, RATE):
+        chunk = matrix_t[off : off + RATE]
+        if chunk.shape[0] < RATE:
+            chunk = jnp.pad(chunk, ((0, RATE - chunk.shape[0]), (0, 0)))
+        state = jnp.concatenate([chunk, state[RATE:]], axis=0)
+        state = _permute_t(state)
+    return state[:DIGEST_WIDTH]
+
+
+def _compress_t(level_t):
+    """(8, n) digests → (8, n/2) parents: rows 0-7 = left child, 8-15 = right."""
+    pairs = level_t.reshape(DIGEST_WIDTH, level_t.shape[1] // 2, 2)
+    state = jnp.concatenate([pairs[..., 0], pairs[..., 1]], axis=0)
+    return _permute_t(state)[:DIGEST_WIDTH]
+
+
+@jax.jit
+def _build_levels_pallas(matrix):
+    """Tree build in transposed-lane layout; returns (n, 8) levels like
+    ``_build_levels``."""
+    mt = matrix.T
+    levels = [_hash_rows_t(mt)]
+    while levels[-1].shape[1] > 1:
+        levels.append(_compress_t(levels[-1]))
+    return tuple(lvl.T for lvl in levels)
+
+
+def build_levels(matrix):
+    """Backend-dispatched tree build (Pallas on TPU, XLA elsewhere)."""
+    if jax.default_backend() == "tpu":
+        return _build_levels_pallas(matrix)
+    return _build_levels(matrix)
+
+
 @jax.jit
 def _to_std(arrs):
     return tuple(bb.from_mont(a) for a in arrs)
@@ -69,7 +127,7 @@ class MerkleTree:
         if n & (n - 1):
             raise ValueError("leaf count must be a power of two")
         self.matrix = matrix
-        self.levels = _build_levels(matrix)
+        self.levels = build_levels(matrix)
         self._host = None  # lazy standard-form mirrors for opening
 
     def _materialize(self):
