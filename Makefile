@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast heavy-test native gen-spec examples bench clean
+.PHONY: test test-fast heavy-test native gen-spec examples bench clean install-git-hooks
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -34,6 +34,11 @@ examples:
 
 bench:
 	$(PY) bench.py
+
+# mirror of the reference's `make install-git-hooks` (Makefile:15-22)
+install-git-hooks:
+	cp scripts/hooks/pre-commit .git/hooks/pre-commit
+	chmod +x .git/hooks/pre-commit
 
 clean:
 	rm -rf native/*.so **/__pycache__ .pytest_cache

@@ -89,10 +89,11 @@ def main():
         jnp.asarray(rng.integers(0, bb.P, size=(1 << log_n,), dtype=np.uint32))
     )
     ntt_fn = jax.jit(lambda v: ntt(v))
-    t_ntt = _bench(ntt_fn, x)
+    t_ntt = _bench(ntt_fn, x, iters=20)
     elems_per_s = (1 << log_n) / t_ntt
-    # roofline: ~log_n·(7 mul + ~20 aux) uint32 ops per element
-    NTT_ROOFLINE = 4e12 / (log_n * 27)
+    # roofline: HBM-bound — each of ~2·(log_n/2)+4 stage passes streams every
+    # element (read+write, 4B each) at ~819 GB/s (v5e)
+    NTT_ROOFLINE = 819e9 / (8 * (log_n + 4))
     print(
         f"# ntt 2^{log_n}: {t_ntt*1e3:.2f} ms, {elems_per_s:.3e} elem/s "
         f"({elems_per_s/NTT_ROOFLINE:.2%} of roofline est)",

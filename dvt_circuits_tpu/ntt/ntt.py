@@ -74,6 +74,82 @@ def _ntt_core(x, log_n: int, inverse: bool):
     return x
 
 
+# ---------------------------------------------------------------------------
+# Four-step NTT: the TPU fast path for large sizes.
+#
+# Butterflies along the minor (lane) axis relayout every stage — measured at
+# ~1% of roofline for 2^20 on v5e.  The four-step factorization N = N1·N2
+# keeps every butterfly on the sublane axis with a full lane vector riding
+# along: column NTT (N1) → twiddle w_N^{k1·n2} → transpose → column NTT (N2);
+# the (N2, N1) result flattens directly to natural order.
+# ---------------------------------------------------------------------------
+
+
+def _ntt_sublane(x, log_n: int, inverse: bool):
+    """NTT along axis -2; the minor axis is untouched batch (lanes)."""
+    n = 1 << log_n
+    rev = _bit_reverse_indices(log_n)
+    x = jnp.take(x, rev, axis=-2)
+    stages = _twiddle_stages(log_n, inverse)
+    lead = x.shape[:-2]
+    lanes = x.shape[-1]
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m // 2
+        tw = stages[s - 1]  # (half,)
+        v = x.reshape(*lead, n // m, 2, half, lanes)
+        even = v[..., 0, :, :]
+        odd = bb.mont_mul(v[..., 1, :, :], tw[:, None])
+        x = jnp.concatenate([bb.add(even, odd), bb.sub(even, odd)], axis=-2).reshape(
+            *lead, n, lanes
+        )
+    return x
+
+
+@lru_cache(maxsize=None)
+def _fourstep_twiddles(log_n1: int, log_n2: int, inverse: bool) -> np.ndarray:
+    """(N1, N2) table of w_N^{k1·n2} (Montgomery form, host numpy)."""
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    w = bb.two_adic_generator(log_n1 + log_n2)
+    if inverse:
+        w = bb.s_inv(w)
+    # row k1 is a geometric sequence with ratio w^{k1}
+    ratios = np.empty(n1, dtype=np.uint64)
+    acc = 1
+    for i in range(n1):
+        ratios[i] = acc
+        acc = acc * w % bb.P
+    table = np.empty((n1, n2), dtype=np.uint64)
+    col = np.ones(n1, dtype=np.uint64)
+    for j in range(n2):
+        table[:, j] = col
+        col = col * ratios % bb.P
+    return bb.np_to_mont(table)
+
+
+_FOURSTEP_MIN_LOG_N = 10
+
+
+def _ntt_fourstep(x, log_n: int, inverse: bool):
+    """x: (..., N) → (..., N), natural order in and out."""
+    log_n1 = log_n // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    lead = x.shape[:-1]
+    a = x.reshape(*lead, n1, n2)
+    b = _ntt_sublane(a, log_n1, inverse)  # B[k1, n2], lanes = n2
+    b = bb.mont_mul(b, jnp.asarray(_fourstep_twiddles(log_n1, log_n2, inverse)))
+    c = jnp.swapaxes(b, -1, -2)  # (n2, n1)
+    d = _ntt_sublane(c, log_n2, inverse)  # D[k2, k1] = X[k1 + n1·k2]
+    return d.reshape(*lead, 1 << log_n)
+
+
+def _ntt_dispatch(x, log_n: int, inverse: bool):
+    if log_n >= _FOURSTEP_MIN_LOG_N:
+        return _ntt_fourstep(x, log_n, inverse)
+    return _ntt_core(x, log_n, inverse)
+
+
 def ntt(x, axis: int = -1):
     """Forward NTT (evaluations at ω^0..ω^{N-1}) of Montgomery-form coeffs."""
     x = jnp.moveaxis(x, axis, -1)
@@ -81,7 +157,7 @@ def ntt(x, axis: int = -1):
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
         raise ValueError(f"NTT size must be a power of two, got {n}")
-    out = _ntt_core(x, log_n, inverse=False)
+    out = _ntt_dispatch(x, log_n, inverse=False)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -92,7 +168,7 @@ def intt(x, axis: int = -1):
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
         raise ValueError(f"NTT size must be a power of two, got {n}")
-    out = _ntt_core(x, log_n, inverse=True)
+    out = _ntt_dispatch(x, log_n, inverse=True)
     n_inv = np.uint32(bb.s_to_mont(bb.s_inv(n % bb.P)))
     out = bb.mont_mul(out, jnp.full((), n_inv, jnp.uint32))
     return jnp.moveaxis(out, -1, axis)

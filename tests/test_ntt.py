@@ -85,3 +85,19 @@ def test_lde_prefix_consistency():
         for j in reversed(range(n)):
             want = (want * x + int(coeffs[j])) % bb.P
         assert int(sub[i]) == want
+
+
+def test_fourstep_matches_core():
+    # the TPU fast path (sublane butterflies + transpose) vs the direct
+    # lane-axis implementation, both directions, odd and even log sizes
+    import jax.numpy as jnp
+
+    from dvt_circuits_tpu.ntt.ntt import _ntt_core, _ntt_fourstep
+
+    rng = np.random.default_rng(42)
+    for log_n in (10, 11):
+        x = bb.to_mont(jnp.asarray(rng.integers(0, bb.P, size=(1 << log_n,), dtype=np.uint32)))
+        for inverse in (False, True):
+            a = np.asarray(_ntt_core(x, log_n, inverse))
+            b = np.asarray(_ntt_fourstep(x, log_n, inverse))
+            assert np.array_equal(a, b), (log_n, inverse)
