@@ -78,3 +78,54 @@ def test_graft_entry_points():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+class TestEpTables:
+    def test_roots_match_single_device(self, rng):
+        from dvt_circuits_tpu.ntt import coset_lde
+        from dvt_circuits_tpu.parallel.ep_tables import ep_commit_tables, pad_tables
+
+        # ragged "AIR chip" tables like a multi-table shard
+        tables = pad_tables(
+            [
+                rng.integers(0, bb.P, size=(96, 3), dtype=np.uint32),
+                rng.integers(0, bb.P, size=(128, 5), dtype=np.uint32),
+                rng.integers(0, bb.P, size=(64, 5), dtype=np.uint32),
+                rng.integers(0, bb.P, size=(128, 2), dtype=np.uint32),
+            ]
+        )
+        mesh = make_mesh({"ep": 4}, devices=jax.devices()[:4])
+        roots = np.asarray(ep_commit_tables(tables, mesh))
+        for k in range(tables.shape[0]):
+            lde = coset_lde(bb.to_mont(jnp.asarray(tables[k])), 1, axis=0)
+            want = np.asarray(MerkleTree(lde).levels[-1][0])
+            assert np.array_equal(roots[k], want), k
+
+    def test_bad_table_count(self, rng):
+        from dvt_circuits_tpu.parallel.ep_tables import ep_commit_tables
+
+        mesh = make_mesh({"ep": 4}, devices=jax.devices()[:4])
+        with pytest.raises(ValueError):
+            ep_commit_tables(np.zeros((3, 8, 2), np.uint32), mesh)
+
+
+class TestPpPipeline:
+    @pytest.mark.parametrize("n_stages", [3, 4, 8])
+    def test_roots_match_sequential(self, rng, n_stages):
+        from dvt_circuits_tpu.ntt import coset_lde
+        from dvt_circuits_tpu.parallel.pp_pipeline import pp_commit_pipeline
+
+        mesh = make_mesh({"pp": n_stages}, devices=jax.devices()[:n_stages])
+        traces = rng.integers(0, bb.P, size=(5, 64, 4), dtype=np.uint32)
+        roots = np.asarray(pp_commit_pipeline(jnp.asarray(traces), mesh))
+        for i in range(traces.shape[0]):
+            lde = coset_lde(bb.to_mont(jnp.asarray(traces[i])), 1, axis=0)
+            want = np.asarray(MerkleTree(lde).levels[-1][0])
+            assert np.array_equal(roots[i], want), i
+
+    def test_too_few_stages(self, rng):
+        from dvt_circuits_tpu.parallel.pp_pipeline import pp_commit_pipeline
+
+        mesh = make_mesh({"pp": 2}, devices=jax.devices()[:2])
+        with pytest.raises(ValueError):
+            pp_commit_pipeline(np.zeros((2, 64, 4), np.uint32), mesh)
