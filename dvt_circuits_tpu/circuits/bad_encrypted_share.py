@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import hashlib
 
+from ..dkg import hash_recorder
+
 from ..dkg.keys import BlsDkgWithSecp256kCommitment
 from ..dkg.types import (
     BadEncryptedShare,
@@ -172,7 +174,8 @@ def run(setup, ctx: GuestContext, input_bytes: bytes, auth: bool) -> None:
     # ChaCha20 key/nonce derived from the compressed ECDH point (main.rs:16-30)
     base = bytes(p.to_bytes())
     key = hashlib.sha256(base).digest()
-    nonce = hashlib.sha256(base).digest()[:12]
+    hash_recorder.record(base, key)
+    nonce = key[:12]
 
     try:
         encrypted_bytes = bytes.fromhex(data.encrypted_message)

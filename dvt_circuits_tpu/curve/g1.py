@@ -128,6 +128,54 @@ def scalars_to_bits(scalars) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+WINDOW_BITS = 4
+NUM_WINDOWS = SCALAR_BITS // WINDOW_BITS  # 64
+
+
+def scalars_to_digits(scalars) -> jnp.ndarray:
+    """Host ints → (n, 64) base-16 digit array, most-significant first."""
+    out = np.zeros((len(scalars), NUM_WINDOWS), dtype=np.int32)
+    for i, s in enumerate(scalars):
+        s = int(s) % host.R
+        for w in range(NUM_WINDOWS):
+            out[i, NUM_WINDOWS - 1 - w] = (s >> (WINDOW_BITS * w)) & 0xF
+    return jnp.asarray(out)
+
+
+def scalar_mul_windowed(p, digits):
+    """Batched fixed-window scalar multiplication.
+
+    Builds the 16-entry multiples table T[j] = j·P per point (15 batched
+    adds), then scans the 64 base-16 digits MSB-first: 4 doublings + one
+    table-gather add per digit — 256 doubles + 79 adds total vs the
+    double-and-add ladder's 256 + 256 (~1.8× fewer field multiplies).
+    p: batched Jacobian point; digits: (n, 64) int32 from
+    ``scalars_to_digits``.
+    """
+    batch = digits.shape[:-1]
+    table = [identity(batch), p]
+    for _ in range(14):
+        table.append(add(table[-1], p))
+    # (16, ..., 32) per coordinate
+    T = tuple(jnp.stack([t[c] for t in table], axis=0) for c in range(3))
+
+    acc = identity(batch)
+
+    def body(i, acc):
+        for _ in range(WINDOW_BITS):
+            acc = double(acc)
+        d = jax.lax.dynamic_slice_in_dim(digits, i, 1, axis=-1)[..., 0]  # (...)
+        # gather T[d] along the table axis
+        idx = d[None, ..., None]  # (1, ..., 1)
+        entry = tuple(
+            jnp.take_along_axis(c, jnp.broadcast_to(idx, (1, *batch, fp.NLIMBS)), axis=0)[0]
+            for c in T
+        )
+        return add(acc, entry)
+
+    return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc)
+
+
 def scalar_mul(p, bits):
     """Batched double-and-add: p = batched Jacobian, bits (n, 256)."""
     batch = bits.shape[:-1]
@@ -164,20 +212,20 @@ double_jit = jax.jit(double)
 
 
 @jax.jit
-def _msm_jit(points, bits):
-    per_point = scalar_mul(points, bits)
+def _msm_jit(points, digits):
+    per_point = scalar_mul_windowed(points, digits)
     return _tree_reduce(per_point)
 
 
 def msm(points_affine, scalars):
-    """Σ scalarᵢ·Pᵢ on device: batched double-and-add + tree reduction.
+    """Σ scalarᵢ·Pᵢ on device: batched windowed scalar-mul + tree reduction.
 
     points_affine: host affine tuples; scalars: host ints.
     Returns the host affine result.
     """
     p = from_affine_points(points_affine)
-    bits = scalars_to_bits(scalars)
-    out = _msm_jit(p, bits)
+    digits = scalars_to_digits(scalars)
+    out = _msm_jit(p, digits)
     return to_affine_points(tuple(c[None] for c in out))[0]
 
 
@@ -191,10 +239,10 @@ def dist_msm(points_affine, scalars, mesh, axis_name: str = "sp"):
     points_affine = list(points_affine) + [None] * pad
     scalars = list(scalars) + [0] * pad
     p = from_affine_points(points_affine)
-    bits = scalars_to_bits(scalars)
+    bits = scalars_to_digits(scalars)
 
     def kernel(px, py, pz, bl):
-        part = _tree_reduce(scalar_mul((px, py, pz), bl))
+        part = _tree_reduce(scalar_mul_windowed((px, py, pz), bl))
         gathered = tuple(
             jax.lax.all_gather(c, axis_name) for c in part
         )  # (d, 32) each

@@ -1,0 +1,42 @@
+"""Recording of SHA-256 invocations performed by witness programs.
+
+The reference proves every commitment hash inside SP1 via its sha2
+precompile chip (SURVEY.md §2.2); the TPU framework's equivalent is the
+SHA-256 gadget AIR (stark/sha256_air.py).  This module is the seam between
+the two: while a witness program runs under ``recording()``, every SHA-256
+the DKG verification layer computes is captured as a (preimage, digest)
+pair, and the prover pipeline turns the captured set into gadget STARK
+proofs whose digests are bound to the committed public-value stream.
+
+Recording is process-global (witness programs are single-threaded by
+construction, like the reference's zkVM guests) and zero-cost when off.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import List, Optional, Tuple
+
+_RECORDS: Optional[List[Tuple[bytes, bytes]]] = None
+
+
+def record(preimage: bytes, digest: bytes) -> None:
+    """Called by the verification layer for every SHA-256 it computes."""
+    if _RECORDS is not None:
+        _RECORDS.append((bytes(preimage), bytes(digest)))
+
+
+@contextmanager
+def recording():
+    """Capture all SHA-256 (preimage, digest) pairs computed in the block.
+
+    Yields the live list; duplicates are preserved in call order (the
+    pipeline dedupes).  Nested use shares the innermost list.
+    """
+    global _RECORDS
+    prev = _RECORDS
+    _RECORDS = [] if prev is None else prev
+    try:
+        yield _RECORDS
+    finally:
+        _RECORDS = prev

@@ -19,6 +19,7 @@ import hashlib
 from typing import List, Sequence
 
 from ..utils.errors import InvalidPoint, SlashableError, UnslashableError, VerificationError
+from . import hash_recorder
 from .dkg_math import agg_coefficients, evaluate_polynomial, lagrange_interpolation
 from .types import (
     BadPartialShare,
@@ -32,10 +33,10 @@ from .types import (
 
 
 def _sha256(*parts: bytes) -> bytes:
-    h = hashlib.sha256()
-    for p in parts:
-        h.update(p)
-    return h.digest()
+    preimage = b"".join(parts)
+    digest = hashlib.sha256(preimage).digest()
+    hash_recorder.record(preimage, digest)
+    return digest
 
 
 def compute_seed_exchange_hash(setup, seed_exchange: SeedExchangeCommitment) -> SHA256Raw:
@@ -121,14 +122,15 @@ def compute_initial_commitment_hash(
     settings: GenerateSettings, base_pubkeys: Sequence[bytes]
 ) -> SHA256Raw:
     """SHA256(gen_id ‖ n ‖ k ‖ len ‖ pubkeys…) (verification.rs:151-175)."""
-    h = hashlib.sha256()
-    h.update(bytes(settings.gen_id))
-    h.update(bytes([settings.n]))
-    h.update(bytes([settings.k]))
-    h.update(bytes([len(base_pubkeys) & 0xFF]))
-    for pk in base_pubkeys:
-        h.update(bytes(pk))
-    return SHA256Raw(h.digest())
+    return SHA256Raw(
+        _sha256(
+            bytes(settings.gen_id),
+            bytes([settings.n]),
+            bytes([settings.k]),
+            bytes([len(base_pubkeys) & 0xFF]),
+            *[bytes(pk) for pk in base_pubkeys],
+        )
+    )
 
 
 def verify_initial_commitment_hash(commitment: InitialCommitment) -> bool:
@@ -209,20 +211,19 @@ def verify_generations(setup, generations: Sequence, settings: GenerateSettings,
 
 def compute_partial_share_hash(settings: GenerateSettings, partial_share: BadPartialShare) -> bytes:
     """auth mode commitment preimage for a partial share (verification.rs:334-362)."""
-    h = hashlib.sha256()
-    h.update(bytes(settings.gen_id))
-    h.update(bytes([settings.n]))
-    h.update(bytes([settings.k]))
-    h.update(bytes([len(partial_share.data.verification_vector) & 0xFF]))
-    for pk in partial_share.data.verification_vector:
-        h.update(bytes(pk))
-    h.update(bytes(partial_share.data.base_hash))
-    h.update(bytes(partial_share.data.partial_pubkey))
     cleartext = partial_share.data.message_cleartext.encode("utf-8")
-    h.update(bytes([len(cleartext) & 0xFF]))
-    h.update(cleartext)
-    h.update(bytes(partial_share.data.message_signature))
-    return h.digest()
+    return _sha256(
+        bytes(settings.gen_id),
+        bytes([settings.n]),
+        bytes([settings.k]),
+        bytes([len(partial_share.data.verification_vector) & 0xFF]),
+        *[bytes(pk) for pk in partial_share.data.verification_vector],
+        bytes(partial_share.data.base_hash),
+        bytes(partial_share.data.partial_pubkey),
+        bytes([len(cleartext) & 0xFF]),
+        cleartext,
+        bytes(partial_share.data.message_signature),
+    )
 
 
 def verify_commitment(setup, commitment) -> bool:

@@ -13,11 +13,20 @@ flow (src/main.rs:430-507):
     subcommand, which re-executes the circuit ELF — divergence documented in
     SURVEY.md §3.5): replays the transcript and FRI queries host-side.
 
-Round-1 proof semantics: the STARK certifies the integrity binding of the
-witness program's committed output stream (circuit id, auth mode, stream
-bytes → Poseidon2 digest).  Arithmetization of the DKG verification logic
-itself (SHA-256 / BLS gadget AIRs, so the verifier need not trust witness
-re-execution) is the staged roadmap — see README.md.
+Proof semantics (v2, multi-table): one shared Fiat–Shamir transcript chains
+
+  1. the Poseidon2 stream AIR binding the witness program's committed
+     public-value stream (circuit id, auth mode, stream → digest), and
+  2. one SHA-256 gadget AIR per distinct SHA-256 the witness computed
+     (commitment hashes, ECDH key derivation — recorded by
+     ``dkg.hash_recorder``), each proving digest = SHA-256(preimage) in
+     constraints, with digests that appear in the committed stream bound
+     to it by the verifier (offset check against the hex encoding the
+     guests commit).
+
+This is the staged arithmetization of the DKG checks (README roadmap):
+the hash chain no longer relies on witness re-execution.  Remaining trust
+gap (documented): curve relations (BLS/secp) are not yet in-circuit.
 """
 
 from __future__ import annotations
@@ -27,6 +36,8 @@ from typing import Optional
 
 from ..circuits.guest_api import GuestResult, run_guest
 from ..circuits.registry import CIRCUITS, get_circuit
+from ..dkg.hash_recorder import recording
+from ..pcs.challenger import DuplexChallenger
 from ..stark import prove as stark_prove
 from ..stark import verify as stark_verify
 from ..stark.config import DEFAULT_CONFIG, StarkConfig
@@ -35,10 +46,16 @@ from ..stark.poseidon2_air import (
     hash_stream_words,
     stream_to_words,
 )
+from ..stark.sha256_air import Sha256Air, digest_from_publics, pad_message
 from ..stark.verifier import StarkError
 from ..utils import cbor
 
-PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v1"
+PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v2"
+
+#: cap on per-proof SHA-256 gadget tables (committee hashes are O(n); the
+#: cap exists to bound proof size — the count omitted is recorded in the
+#: container so the cap is never silent)
+MAX_SHA_GADGETS = 16
 
 _CIRCUIT_IDS = {name: i + 1 for i, name in enumerate(sorted(CIRCUITS))}
 
@@ -80,7 +97,8 @@ def prove_circuit(
 ) -> dict:
     """Execute the witness and produce the binding proof container."""
     t0 = time.time()
-    result = execute_circuit(circuit_name, data, auth, setup)
+    with recording() as recorded_hashes:
+        result = execute_circuit(circuit_name, data, auth, setup)
     if result.exit_code != 0:
         raise ProveError(
             f"witness execution failed (guest panic): {result.panic_message}"
@@ -89,10 +107,38 @@ def prove_circuit(
     num_chunks = max(1, -(-len(words) // 8))
     air = Poseidon2StreamAir(num_chunks)
     trace, publics = air.generate_trace(words)
+
+    # distinct SHA-256 relations the witness relied on, in first-use order
+    seen: set = set()
+    sha_relations = []
+    for preimage, digest in recorded_hashes:
+        if digest not in seen:
+            seen.add(digest)
+            sha_relations.append((preimage, digest))
+    omitted = max(0, len(sha_relations) - MAX_SHA_GADGETS)
+    sha_relations = sha_relations[:MAX_SHA_GADGETS]
     witness_time = time.time() - t0
 
+    # multi-table proof: stream AIR first, then each gadget, one transcript
     t0 = time.time()
-    stark = stark_prove(air, trace, publics, config)
+    challenger = DuplexChallenger()
+    stark = stark_prove(air, trace, publics, config, challenger)
+    gadgets = []
+    for preimage, digest in sha_relations:
+        padded = pad_message(preimage)
+        g_air = Sha256Air(len(padded) // 64)
+        g_trace, g_publics = g_air.generate_trace(padded)
+        g_proof = stark_prove(g_air, g_trace, g_publics, config, challenger)
+        # guests commit digests as hex text; bind where the digest appears
+        off = result.public_values.find(digest.hex().encode("ascii"))
+        gadgets.append(
+            {
+                "kind": "sha256",
+                "num_blocks": len(padded) // 64,
+                "stream_offset": off if off >= 0 else None,
+                "proof": g_proof,
+            }
+        )
     prove_time = time.time() - t0
 
     return {
@@ -103,6 +149,8 @@ def prove_circuit(
         "public_values": result.public_values.hex(),
         "commit_count": result.commit_count,
         "stark": stark,
+        "gadgets": gadgets,
+        "gadgets_omitted": omitted,
         "config": {
             "log_blowup": config.log_blowup,
             "num_queries": config.num_queries,
@@ -154,13 +202,45 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     digest = hash_stream_words(padded)
     publics = padded + digest
 
+    challenger = DuplexChallenger()
     try:
-        stark_verify(air, container["stark"], publics, config)
+        stark_verify(air, container["stark"], publics, config, challenger)
+        for entry in container.get("gadgets", []):
+            _verify_sha_gadget(entry, stream, config, challenger)
     except StarkError as e:
         raise VerifyError(f"STARK verification failed: {e}") from None
     except (KeyError, TypeError, ValueError) as e:
         raise VerifyError(f"malformed proof: {e}") from None
     return True
+
+
+def _verify_sha_gadget(
+    entry: dict, stream: bytes, config: StarkConfig, challenger: DuplexChallenger
+) -> None:
+    """Verify one SHA-256 gadget table and its stream binding.
+
+    The gadget's public values (message + digest limbs) come from the
+    sub-proof itself; the AIR constraints tie digest to message, and the
+    offset check ties the digest to the committed stream (guests commit
+    hashes as hex text — circuits/guest_api.py framing)."""
+    if entry.get("kind") != "sha256":
+        raise VerifyError(f"unknown gadget kind {entry.get('kind')!r}")
+    num_blocks = int(entry["num_blocks"])
+    if not 1 <= num_blocks <= 64:
+        raise VerifyError("gadget block count out of range")
+    g_air = Sha256Air(num_blocks)
+    g_publics = [int(v) for v in entry["proof"]["public_values"]]
+    try:
+        g_air.check_publics(g_publics)
+    except ValueError as e:
+        raise VerifyError(f"gadget publics: {e}") from None
+    stark_verify(g_air, entry["proof"], g_publics, config, challenger)
+    off = entry.get("stream_offset")
+    if off is not None:
+        off = int(off)
+        digest_hex = digest_from_publics(g_air, g_publics).hex().encode("ascii")
+        if not 0 <= off <= len(stream) - 64 or stream[off : off + 64] != digest_hex:
+            raise VerifyError("gadget digest not bound to the committed stream")
 
 
 def prove_batch(

@@ -419,8 +419,15 @@ def prove(
     trace: np.ndarray,
     public_values: Sequence[int],
     config: StarkConfig,
+    challenger: DuplexChallenger | None = None,
 ) -> dict:
-    """Prove one AIR instance.  ``trace``: (N, width) standard-form uint32."""
+    """Prove one AIR instance.  ``trace``: (N, width) standard-form uint32.
+
+    Passing a ``challenger`` chains this proof onto an existing Fiat–Shamir
+    transcript (multi-table proving: the challenges of table i+1 depend on
+    every commitment of tables 0..i — SP1's multi-chip shard analogue).
+    The matching verifier must replay the tables in the same order.
+    """
     trace = np.asarray(trace, dtype=np.uint32)
     n, width = trace.shape
     log_n = n.bit_length() - 1
@@ -435,7 +442,8 @@ def prove(
     n_lde = n << config.log_blowup
     fns = _phases(air, log_n, config)
 
-    challenger = DuplexChallenger()
+    if challenger is None:
+        challenger = DuplexChallenger()
     challenger.observe(log_n)
     challenger.observe(width)
     challenger.observe_many(publics)

@@ -492,6 +492,247 @@ class Sha256Air(Air):
                 b.mul(sel_digest, b.sub(iv_l[j], b.public(32 * self.num_blocks + j)))
             )
 
+    def eval_tensor(self, tb):
+        """Tensor fast path for the prover: identical constraints to ``eval``
+        in identical α-power order, with bitwise register operations expressed
+        as whole-(n, 32) tensor ops (rotations = rolls along the bit axis).
+        The scalar ``eval`` stays the verifier's path at ζ; any divergence
+        breaks the DEEP-ALI identity, so the prove/verify round-trip tests
+        cross-check the two implementations bit-exactly."""
+        import jax.numpy as jnp
+
+        from ..field import babybear as fb
+
+        X, NXT, PRE = tb.local, tb.next, tb.pre
+        n = X.shape[0]
+        m, add, sub = fb.mont_mul, fb.add, fb.sub
+
+        def c(v: int):
+            return jnp.full((), np.uint32(fb.s_to_mont(v % fb.P)), jnp.uint32)
+
+        ONE, TWO, FOUR, T16 = c(1), c(2), c(4), c(1 << 16)
+        # weight table: 2^(i mod 16) in Montgomery form, shape (32,)
+        WFULL = jnp.asarray(
+            fb.np_to_mont(np.array([1 << (i % 16) for i in range(32)], dtype=np.uint64))
+        )
+
+        def tsum(t):
+            """Modular tree-sum along axis 1: (n, k) → (n,)."""
+            while t.shape[1] > 1:
+                half = t.shape[1] // 2
+                t = jnp.concatenate(
+                    [add(t[:, :half], t[:, half : 2 * half]), t[:, 2 * half :]], axis=1
+                )
+            return t[:, 0]
+
+        def wsum_pair(bits32):
+            prods = m(bits32, WFULL[None, :])
+            return tsum(prods[:, :16]), tsum(prods[:, 16:])
+
+        def xor3(x, y, z):
+            s = add(add(x, y), z)
+            p2_ = add(add(m(x, y), m(y, z)), m(z, x))
+            return add(sub(s, m(TWO, p2_)), m(FOUR, m(m(x, y), z)))
+
+        def fold_add(parts):
+            acc = parts[0]
+            for p_ in parts[1:]:
+                acc = add(acc, p_)
+            return acc
+
+        sel_round, sel_bound, sel_digest = PRE[:, 0], PRE[:, 1], PRE[:, 2]
+        k_lo, k_hi = PRE[:, 3], PRE[:, 4]
+        sel_rb = add(sel_round, sel_bound)
+        sel_active = add(sel_rb, sel_digest)
+        trans, first = tb.sel_transition, tb.sel_first
+
+        A_, B_, C_ = X[:, A : A + 32], X[:, B : B + 32], X[:, C : C + 32]
+        E_, F_, G_ = X[:, E : E + 32], X[:, F : F + 32], X[:, G : G + 32]
+        W1 = X[:, W1B : W1B + 32]
+        W14 = X[:, W14B : W14B + 32]
+        IV_T = X[:, IV : IV + 16]
+
+        # 1. bitness (same column ranges + selector split as the scalar loops)
+        bits = X[:, A : A + 192]
+        tb.assert_group(m(sel_active[:, None], m(bits, sub(bits, ONE))))
+        bits = X[:, W1B : W1B + 64]
+        tb.assert_group(m(sel_rb[:, None], m(bits, sub(bits, ONE))))
+        bits = X[:, CE : CE + 16]  # CE(6) ‖ CA(6) ‖ CW(4) are contiguous
+        tb.assert_group(m(sel_rb[:, None], m(bits, sub(bits, ONE))))
+        bits = X[:, CF : CF + 12]
+        tb.assert_group(m(sel_bound[:, None], m(bits, sub(bits, ONE))))
+
+        # 2. w1/w14 bit decompositions match the window limbs
+        w1_lo, w1_hi = wsum_pair(W1)
+        w14_lo, w14_hi = wsum_pair(W14)
+        tb.assert_group(
+            m(
+                sel_rb[:, None],
+                jnp.stack(
+                    [
+                        sub(w1_lo, X[:, WIN + 2]),
+                        sub(w1_hi, X[:, WIN + 3]),
+                        sub(w14_lo, X[:, WIN + 28]),
+                        sub(w14_hi, X[:, WIN + 29]),
+                    ],
+                    axis=1,
+                ),
+            )
+        )
+
+        # 3. round mixers: rotations are rolls along the bit axis
+        roll = lambda t, k: jnp.roll(t, -k, axis=1)
+        S1 = xor3(roll(E_, 6), roll(E_, 11), roll(E_, 25))
+        CH = add(m(E_, F_), m(sub(ONE, E_), G_))
+        S0 = xor3(roll(A_, 2), roll(A_, 13), roll(A_, 22))
+        MAJ = sub(
+            add(add(m(A_, B_), m(A_, C_)), m(B_, C_)), m(TWO, m(m(A_, B_), C_))
+        )
+        s1_lo, s1_hi = wsum_pair(S1)
+        ch_lo, ch_hi = wsum_pair(CH)
+        s0_lo, s0_hi = wsum_pair(S0)
+        mj_lo, mj_hi = wsum_pair(MAJ)
+        s1ch_lo, s1ch_hi = add(s1_lo, ch_lo), add(s1_hi, ch_hi)
+        s0mj_lo, s0mj_hi = add(s0_lo, mj_lo), add(s0_hi, mj_hi)
+        t1_lo = fold_add([X[:, H_LO], s1ch_lo, k_lo, X[:, WIN + 0]])
+        t1_hi = fold_add([X[:, H_HI], s1ch_hi, k_hi, X[:, WIN + 1]])
+
+        def carry3(base):
+            return fold_add([m(c(1 << i), X[:, base + i]) for i in range(3)])
+
+        ce_l, ce_h = carry3(CE), carry3(CE + 3)
+        ca_l, ca_h = carry3(CA), carry3(CA + 3)
+
+        n_a_lo, n_a_hi = wsum_pair(NXT[:, A : A + 32])
+        n_e_lo, n_e_hi = wsum_pair(NXT[:, E : E + 32])
+        a_lo, a_hi = wsum_pair(A_)
+        b_lo, b_hi = wsum_pair(B_)
+        c_lo, c_hi = wsum_pair(C_)
+        e_lo, e_hi = wsum_pair(E_)
+        f_lo, f_hi = wsum_pair(F_)
+        g_lo, g_hi = wsum_pair(G_)
+
+        def add_eq_group(sel, out_lo, out_hi, cl, ch_, parts_lo, parts_hi):
+            lo = sub(add(out_lo, m(T16, cl)), fold_add(parts_lo))
+            hi = sub(add(out_hi, m(T16, ch_)), fold_add(list(parts_hi) + [cl]))
+            tb.assert_group(m(m(sel, trans)[:, None], jnp.stack([lo, hi], axis=1)))
+
+        add_eq_group(sel_round, n_e_lo, n_e_hi, ce_l, ce_h,
+                     [X[:, D_LO], t1_lo], [X[:, D_HI], t1_hi])
+        add_eq_group(sel_round, n_a_lo, n_a_hi, ca_l, ca_h,
+                     [t1_lo, s0mj_lo], [t1_hi, s0mj_hi])
+        add_eq_group(sel_bound, n_e_lo, n_e_hi, ce_l, ce_h,
+                     [X[:, D_LO], t1_lo, IV_T[:, 8]], [X[:, D_HI], t1_hi, IV_T[:, 9]])
+        add_eq_group(sel_bound, n_a_lo, n_a_hi, ca_l, ca_h,
+                     [t1_lo, s0mj_lo, IV_T[:, 0]], [t1_hi, s0mj_hi, IV_T[:, 1]])
+
+        # register copies (B,C,D,F,G,H), 4 constraints per copy in eval order
+        nb_lo, nb_hi = wsum_pair(NXT[:, B : B + 32])
+        nc_lo, nc_hi = wsum_pair(NXT[:, C : C + 32])
+        nf_lo, nf_hi = wsum_pair(NXT[:, F : F + 32])
+        ng_lo, ng_hi = wsum_pair(NXT[:, G : G + 32])
+        copies = [
+            (nb_lo, nb_hi, a_lo, a_hi, 2, 0),
+            (nc_lo, nc_hi, b_lo, b_hi, 4, 1),
+            (NXT[:, D_LO], NXT[:, D_HI], c_lo, c_hi, 6, 2),
+            (nf_lo, nf_hi, e_lo, e_hi, 10, 3),
+            (ng_lo, ng_hi, f_lo, f_hi, 12, 4),
+            (NXT[:, H_LO], NXT[:, H_HI], g_lo, g_hi, 14, 5),
+        ]
+        sr_t = m(sel_round, trans)
+        sb_t = m(sel_bound, trans)
+        for n_lo, n_hi, s_lo, s_hi, iv_base, cfi in copies:
+            cf_lo, cf_hi = X[:, CF + 2 * cfi], X[:, CF + 2 * cfi + 1]
+            tb.assert_group(
+                jnp.stack(
+                    [
+                        m(sr_t, sub(n_lo, s_lo)),
+                        m(sr_t, sub(n_hi, s_hi)),
+                        m(sb_t, sub(add(n_lo, m(T16, cf_lo)), add(s_lo, IV_T[:, iv_base]))),
+                        m(sb_t, sub(add(n_hi, m(T16, cf_hi)),
+                                    fold_add([s_hi, IV_T[:, iv_base + 1], cf_lo]))),
+                    ],
+                    axis=1,
+                )
+            )
+
+        # iv: copied on round rows / set to the new state on boundary rows,
+        # interleaved per j to match the scalar loop's (round, bound) order
+        next_limbs = jnp.stack(
+            [n_a_lo, n_a_hi, nb_lo, nb_hi, nc_lo, nc_hi,
+             NXT[:, D_LO], NXT[:, D_HI], n_e_lo, n_e_hi, nf_lo, nf_hi,
+             ng_lo, ng_hi, NXT[:, H_LO], NXT[:, H_HI]],
+            axis=1,
+        )
+        nxt_iv = NXT[:, IV : IV + 16]
+        rg = m(sr_t[:, None], sub(nxt_iv, IV_T))
+        bg = m(sb_t[:, None], sub(nxt_iv, next_limbs))
+        tb.assert_group(jnp.stack([rg, bg], axis=2).reshape(n, 32))
+
+        # 4. schedule — window shift (15 words × 2 limbs, consecutive cols)
+        tb.assert_group(
+            m(sr_t[:, None], sub(NXT[:, WIN : WIN + 30], X[:, WIN + 2 : WIN + 32]))
+        )
+        zeros3 = jnp.zeros((n, 3), jnp.uint32)
+        zeros10 = jnp.zeros((n, 10), jnp.uint32)
+        SIG0 = xor3(roll(W1, 7), roll(W1, 18),
+                    jnp.concatenate([W1[:, 3:], zeros3], axis=1))
+        SIG1 = xor3(roll(W14, 17), roll(W14, 19),
+                    jnp.concatenate([W14[:, 10:], zeros10], axis=1))
+        sg0_lo, sg0_hi = wsum_pair(SIG0)
+        sg1_lo, sg1_hi = wsum_pair(SIG1)
+        cw_l = add(X[:, CW], m(TWO, X[:, CW + 1]))
+        cw_h = add(X[:, CW + 2], m(TWO, X[:, CW + 3]))
+        add_eq_group(
+            sel_round, NXT[:, WIN + 30], NXT[:, WIN + 31], cw_l, cw_h,
+            [X[:, WIN + 0], X[:, WIN + 18], sg0_lo, sg1_lo],
+            [X[:, WIN + 1], X[:, WIN + 19], sg0_hi, sg1_hi],
+        )
+
+        # 5. window feed at interior boundaries
+        for blk in range(self.num_blocks - 1):
+            sel_feed = PRE[:, self._FIXED_PRE + blk]
+            pubs = tb.publics[32 * (blk + 1) : 32 * (blk + 2)][None, :]
+            tb.assert_group(
+                m(m(sel_feed, trans)[:, None], sub(NXT[:, WIN : WIN + 32], pubs))
+            )
+
+        # 6. first row: state = H0, iv = H0 (4 constraints per register, in
+        # eval order: reg_lo, reg_hi, iv_lo, iv_hi), then the window words
+        reg_limbs = [
+            (a_lo, a_hi), (b_lo, b_hi), (c_lo, c_hi),
+            (X[:, D_LO], X[:, D_HI]),
+            (e_lo, e_hi), (f_lo, f_hi), (g_lo, g_hi),
+            (X[:, H_LO], X[:, H_HI]),
+        ]
+        for ri in range(8):
+            lo_c, hi_c = _u32_limbs(int(_H0[ri]))
+            tb.assert_group(
+                m(
+                    first[:, None],
+                    jnp.stack(
+                        [
+                            sub(reg_limbs[ri][0], c(lo_c)),
+                            sub(reg_limbs[ri][1], c(hi_c)),
+                            sub(IV_T[:, 2 * ri], c(lo_c)),
+                            sub(IV_T[:, 2 * ri + 1], c(hi_c)),
+                        ],
+                        axis=1,
+                    ),
+                )
+            )
+        tb.assert_group(
+            m(first[:, None], sub(X[:, WIN : WIN + 32], tb.publics[0:32][None, :]))
+        )
+
+        # 7. digest row
+        tb.assert_group(
+            m(
+                sel_digest[:, None],
+                sub(IV_T, tb.publics[32 * self.num_blocks : 32 * self.num_blocks + 16][None, :]),
+            )
+        )
+
     # -- helpers ---------------------------------------------------------------
 
     def check_publics(self, publics) -> None:

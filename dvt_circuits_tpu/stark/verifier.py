@@ -84,8 +84,17 @@ class VerifierBuilder(AirBuilder):
         self.count += 1
 
 
-def verify(air: Air, proof: dict, public_values: Sequence[int], config: StarkConfig) -> bool:
-    """Raises StarkError on any failure; returns True on success."""
+def verify(
+    air: Air,
+    proof: dict,
+    public_values: Sequence[int],
+    config: StarkConfig,
+    challenger: DuplexChallenger | None = None,
+) -> bool:
+    """Raises StarkError on any failure; returns True on success.
+
+    ``challenger`` chains the replayed transcript for multi-table proofs
+    (must mirror the prover's table order — see ``prover.prove``)."""
     try:
         log_n = int(proof["log_n"])
         width = int(proof["width"])
@@ -130,7 +139,8 @@ def verify(air: Air, proof: dict, public_values: Sequence[int], config: StarkCon
         opened_p_zeta = []
         opened_p_gzeta = []
 
-    challenger = DuplexChallenger()
+    if challenger is None:
+        challenger = DuplexChallenger()
     challenger.observe(log_n)
     challenger.observe(width)
     challenger.observe_many(publics)

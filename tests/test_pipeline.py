@@ -73,6 +73,85 @@ class TestPipeline:
             prove_circuit("bad-share", data, True, TEST_CONFIG)
 
 
+class TestShaGadgets:
+    """Multi-table proving: SHA-256 gadget AIRs chained on the shared
+    transcript, digests bound to the committed stream."""
+
+    def test_gadgets_present_and_bound(self, container):
+        gadgets = container["gadgets"]
+        # bad-share (auth) computes the initial-commitment hash and the
+        # seed-exchange hash — both must be arithmetized
+        assert len(gadgets) >= 2
+        assert container["gadgets_omitted"] == 0
+        assert any(g["stream_offset"] is not None for g in gadgets)
+
+    def test_gadget_digest_matches_recorded_hash(self, container, bad_share_data):
+        import hashlib
+
+        from dvt_circuits_tpu.stark.sha256_air import (
+            Sha256Air,
+            digest_from_publics,
+        )
+
+        for g in container["gadgets"]:
+            air = Sha256Air(int(g["num_blocks"]))
+            publics = [int(v) for v in g["proof"]["public_values"]]
+            digest = digest_from_publics(air, publics)
+            # recompose the padded message from the public limbs and check
+            # the digest is the true SHA-256 (soundness of generate_trace)
+            msg = b""
+            for j in range(16 * air.num_blocks):
+                word = publics[2 * j] | (publics[2 * j + 1] << 16)
+                msg += word.to_bytes(4, "big")
+            # strip FIPS padding: length in final 8 bytes
+            bit_len = int.from_bytes(msg[-8:], "big")
+            preimage = msg[: bit_len // 8]
+            assert hashlib.sha256(preimage).digest() == digest
+
+    def test_tampered_gadget_public_rejected(self, container):
+        import copy
+
+        bad = copy.deepcopy(container)
+        bad["gadgets"][0]["proof"]["public_values"][0] ^= 1
+        with pytest.raises(VerifyError):
+            verify_proof(bad)
+
+    def test_tampered_offset_rejected(self, container):
+        import copy
+
+        bad = copy.deepcopy(container)
+        bound = [g for g in bad["gadgets"] if g["stream_offset"] is not None]
+        assert bound
+        bound[0]["stream_offset"] = (bound[0]["stream_offset"] + 2) % 8
+        with pytest.raises(VerifyError):
+            verify_proof(bad)
+
+    def test_dropped_gadget_breaks_transcript_order(self, container):
+        """Gadget proofs share one transcript: removing the first gadget
+        desynchronizes the challenges of the remaining ones."""
+        import copy
+
+        bad = copy.deepcopy(container)
+        if len(bad["gadgets"]) >= 2:
+            bad["gadgets"] = bad["gadgets"][1:]
+            with pytest.raises(VerifyError):
+                verify_proof(bad)
+
+    def test_recorder_captures_and_restores(self):
+        import hashlib
+
+        from dvt_circuits_tpu.dkg import hash_recorder
+        from dvt_circuits_tpu.dkg.verification import _sha256
+
+        with hash_recorder.recording() as records:
+            d = _sha256(b"abc", b"def")
+        assert records == [(b"abcdef", hashlib.sha256(b"abcdef").digest())]
+        assert d == hashlib.sha256(b"abcdef").digest()
+        # off by default: no capture outside the context
+        _sha256(b"xyz")
+        assert len(records) == 1
+
+
 class TestCli:
     def _scenario_file(self, tmp_path, src):
         p = tmp_path / "scenario.json"
