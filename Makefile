@@ -6,10 +6,10 @@ PY ?= python
 .PHONY: test test-fast heavy-test native gen-spec examples bench clean install-git-hooks
 
 test:
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/ -q -n auto
 
 test-fast:
-	$(PY) -m pytest tests/ -q --ignore=tests/test_golden_vectors.py
+	$(PY) -m pytest tests/ -q -n auto --ignore=tests/test_golden_vectors.py
 
 heavy-test:
 	DVT_HEAVY_TESTS=1 $(PY) -m pytest tests/test_curve.py -q
