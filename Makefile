@@ -16,6 +16,7 @@ heavy-test:
 
 native:
 	g++ -O3 -shared -fPIC -o native/dvt_native.so native/dvt_native.cpp
+	g++ -O3 -shared -fPIC -o native/bls381.so native/bls381.cpp
 
 # regenerate the four schema files (auth variant, like script/gen_spec.sh)
 gen-spec:

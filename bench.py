@@ -111,11 +111,31 @@ def main():
         file=sys.stderr,
     )
 
-    # --- end-to-end proof latency (flagship AIR, warm) ---------------------
+    # --- native host crypto (witness-generation hot path) ------------------
+    try:
+        from dvt_circuits_tpu.hostcrypto import bls12_381 as bls
+
+        sk = 123456789
+        pk = bls.g1_mul(bls.G1_GEN, sk)
+        H = bls.hash_to_g2(b"bench")
+        sig = bls.g2_mul(H, sk)
+        t0 = time.perf_counter()
+        ok = bls.pairings_equal(pk, H, bls.G1_GEN, sig)
+        t_pair = time.perf_counter() - t0
+        assert ok
+        print(
+            f"# bls verify (2 pairings, native C++): {t_pair*1e3:.1f} ms",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# bls bench skipped: {e}", file=sys.stderr)
+
+    # --- end-to-end proof latency (v3 two-table proof, single-dispatch) ----
     try:
         from dvt_circuits_tpu.circuits.registry import get_circuit
         from dvt_circuits_tpu.prover.pipeline import prove_circuit, verify_proof
         from dvt_circuits_tpu.stark.config import StarkConfig
+        from dvt_circuits_tpu.utils import cbor
 
         cfg = StarkConfig(num_queries=40, proof_of_work_bits=12)
         vec = json.load(
@@ -130,13 +150,16 @@ def main():
         t0 = time.perf_counter()
         container = prove_circuit("bad-share", data, True, cfg)
         t_prove = time.perf_counter() - t0
+        verify_proof(container)  # warm
         t0 = time.perf_counter()
         verify_proof(container)
         t_verify = time.perf_counter() - t0
         print(
             f"# dkg bad-share proof: prove {t_prove*1e3:.0f} ms "
             f"(witness {container['timing']['witness_ms']} ms), "
-            f"verify {t_verify*1e3:.0f} ms",
+            f"verify {t_verify*1e3:.0f} ms, "
+            f"proof {len(cbor.encode(container))//1024} KiB, "
+            f"throughput {1.0/max(t_prove,1e-9):.1f} proofs/s/chip",
             file=sys.stderr,
         )
     except Exception as e:  # bench must still emit its one line

@@ -318,21 +318,21 @@ def g1_add(p1, p2):
 
 
 def g1_mul(pt, k):
-    k %= R
-    result = None
-    add = pt
-    while k > 0:
-        if k & 1:
-            result = g1_add(result, add)
-        add = g1_add(add, add)
-        k >>= 1
-    return result
+    return g1_mul_raw(pt, k % R)
 
 
 def g1_mul_raw(pt, k):
-    """Scalar mult without reducing mod R (for subgroup/cofactor work)."""
+    """Scalar mult without reducing mod R (for subgroup/cofactor work).
+
+    Dispatches to the native backend (hostcrypto/bls_native.py) when built;
+    the pure-Python ladder below is the fallback and test oracle."""
     if k < 0:
         return g1_mul_raw(g1_neg(pt), -k)
+    from . import bls_native
+
+    native = bls_native.g1_mul(pt, k)
+    if native is not None:
+        return native[0]
     result = None
     add = pt
     while k > 0:
@@ -388,6 +388,11 @@ def g2_add(p1, p2):
 def g2_mul_raw(pt, k):
     if k < 0:
         return g2_mul_raw(g2_neg(pt), -k)
+    from . import bls_native
+
+    native = bls_native.g2_mul(pt, k)
+    if native is not None:
+        return native[0]
     result = None
     add = pt
     while k > 0:
@@ -722,7 +727,15 @@ def pairing(p, q):
 
 
 def pairings_equal(p1, q1, p2, q2):
-    """e(P1, Q1) == e(P2, Q2) with a single final exponentiation."""
+    """e(P1, Q1) == e(P2, Q2) with a single final exponentiation.
+
+    Dispatches to the native backend (~6× today; the pure path is the
+    oracle in tests/test_hostcrypto.py)."""
+    from . import bls_native
+
+    native = bls_native.pairings_equal(p1, q1, p2, q2)
+    if native is not None:
+        return native
     f = fp12_mul(miller_loop(p1, q1), miller_loop(g1_neg(p2), q2))
     return final_exponentiation(f) == FP12_ONE
 

@@ -185,6 +185,61 @@ def _shift_powers(log_n: int, shift: int):
     return bb.np_to_mont(pw)  # host numpy: safe to cache across jit traces
 
 
+# ---------------------------------------------------------------------------
+# Host (numpy) mirror — standard-form uint64, axis 0.  The proof VERIFIER
+# must be cheap and device-free (pcs/merkle.py contract); it recomputes the
+# preprocessed-column commitment with this path instead of dispatching to
+# the accelerator.
+# ---------------------------------------------------------------------------
+
+
+def np_ntt(x: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Radix-2 NTT along axis 0 of a standard-form uint64 array (n, ...)."""
+    x = np.asarray(x, dtype=np.uint64) % np.uint64(bb.P)
+    n = x.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    P64 = np.uint64(bb.P)
+    x = x[_bit_reverse_indices(log_n)]
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m // 2
+        w = bb.two_adic_generator(s)
+        if inverse:
+            w = bb.s_inv(w)
+        tw = np.empty(half, dtype=np.uint64)
+        acc = 1
+        for j in range(half):
+            tw[j] = acc
+            acc = acc * w % bb.P
+        xs = x.reshape(n // m, m, *x.shape[1:])
+        a = xs[:, :half]
+        b = xs[:, half:] * tw.reshape(1, half, *([1] * (x.ndim - 1))) % P64
+        x = np.concatenate([(a + b) % P64, (a + P64 - b) % P64], axis=1).reshape(
+            x.shape
+        )
+    if inverse:
+        x = x * np.uint64(bb.s_inv(n)) % P64
+    return x
+
+
+def np_coset_lde(
+    evals: np.ndarray, log_blowup: int, shift: int = bb.GENERATOR
+) -> np.ndarray:
+    """Host mirror of ``coset_lde`` (axis 0): H-evaluations → shift·K."""
+    evals = np.asarray(evals, dtype=np.uint64)
+    n = evals.shape[0]
+    coeffs = np_ntt(evals, inverse=True)
+    pw = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        pw[i] = acc
+        acc = acc * shift % bb.P
+    coeffs = coeffs * pw.reshape(n, *([1] * (evals.ndim - 1))) % np.uint64(bb.P)
+    pad = np.zeros((n * ((1 << log_blowup) - 1), *evals.shape[1:]), dtype=np.uint64)
+    return np_ntt(np.concatenate([coeffs, pad], axis=0))
+
+
 def coset_lde(evals, log_blowup: int, shift: int = bb.GENERATOR, axis: int = -1):
     """Low-degree extension: evaluations over H (size N) → evaluations over
     the coset shift·K (size N·2^log_blowup).

@@ -28,7 +28,7 @@ from ..field import babybear as bb
 from ..field import ext
 from ..ntt import intt
 from .challenger import DuplexChallenger
-from .merkle import MerkleTree, verify_opening
+from .merkle import MerkleTree, verify_opening, verify_openings_batch
 
 
 @dataclass(frozen=True)
@@ -168,21 +168,48 @@ class FriError(ValueError):
     pass
 
 
+def _pow_mod_vec(base: int, exps: np.ndarray) -> np.ndarray:
+    """base^exps mod p for a uint64 exponent array (binary expansion)."""
+    out = np.ones_like(exps, dtype=np.uint64)
+    b = base % bb.P
+    e = exps.astype(np.uint64).copy()
+    while np.any(e):
+        out = np.where(e & 1, out * np.uint64(b) % np.uint64(bb.P), out)
+        b = b * b % bb.P
+        e >>= 1
+    return out
+
+
+def _as_field_array(values, shape, err: str) -> np.ndarray:
+    """Convert nested ints to a uint64 array, enforcing 0 ≤ v < p."""
+    try:
+        arr = np.asarray(values, dtype=np.uint64)
+    except (ValueError, TypeError, OverflowError):
+        raise FriError(err) from None
+    if arr.shape != shape or np.any(arr >= np.uint64(bb.P)):
+        raise FriError(err)
+    return arr
+
+
 def fri_verify(
     proof: dict,
     shift: int,
     log_n: int,
     config: FriConfig,
     challenger: DuplexChallenger,
-    open_input,
+    open_input_batch,
 ):
-    """Verify a FRI proof (host-side scalar).
+    """Verify a FRI proof — host-side, batched across queries (the per-query
+    work is data-parallel: numpy BB4 for the fold walk, native-batched
+    Poseidon2 for Merkle openings).
 
-    ``open_input(leaf_index, values)`` is called once per query with the
-    opened round-0 pair ``values = (v_at_i, v_at_i_plus_half)`` (BB4 tuples);
-    the caller (the STARK verifier) must raise on mismatch with the outer
-    openings, binding the FRI codeword to the committed polynomials.
+    ``open_input_batch(indices, v0s, v1s)`` is called ONCE with the opened
+    round-0 pairs of every query ((nq,) int array and two (nq, 4) uint64
+    arrays); the caller (the STARK verifier) must raise on mismatch with the
+    outer openings, binding the FRI codeword to the committed polynomials.
     """
+    from ..field import ext_np as enp
+
     if proof.get("log_n") != log_n:
         raise FriError("wrong codeword size")
     final_len = (1 << config.log_final_poly_len) * config.blowup
@@ -211,51 +238,69 @@ def fri_verify(
     if not challenger.check_witness(config.proof_of_work_bits, int(proof["pow_witness"])):
         raise FriError("proof-of-work check failed")
 
-    if len(proof["queries"]) != config.num_queries:
+    nq = config.num_queries
+    queries = proof["queries"]
+    if len(queries) != nq:
         raise FriError("wrong query count")
 
-    fin_log = final_len.bit_length() - 1
-    for q in proof["queries"]:
+    # transcript: sample every query index first (same order as the prover)
+    indices = np.empty(nq, dtype=np.int64)
+    for qi, q in enumerate(queries):
         leaf_index = challenger.sample_bits(log_n - 1)
         if int(q["index"]) != leaf_index:
             raise FriError("query index mismatch")
         if len(q["rounds"]) != n_rounds:
             raise FriError("wrong per-query round count")
-        idx = leaf_index
-        expected = None  # BB4 value the current round must contain at `idx`
-        for r, rd in enumerate(q["rounds"]):
-            cur_log = log_n - r
-            n_half = 1 << (cur_log - 1)
-            j = idx % n_half
-            row = [int(v) for v in rd["leaf"]]
-            if len(row) != 8:
-                raise FriError("malformed FRI leaf")
-            if not verify_opening(proof["roots"][r], j, row, rd["path"]):
-                raise FriError(f"bad Merkle opening in round {r}")
-            v0 = tuple(row[0:4])
-            v1 = tuple(row[4:8])
-            if r == 0:
-                open_input(leaf_index, (v0, v1))
-            else:
-                got = v0 if idx < n_half else v1
-                if got != expected:
-                    raise FriError(f"fold mismatch entering round {r}")
-            # fold to next round's value at index j
-            w = bb.two_adic_generator(cur_log)
-            x = shifts[r] * pow(w, j, bb.P) % bb.P
-            half_inv = (bb.P + 1) // 2
-            even = ext.s_mul_base(ext.s_add(v0, v1), half_inv)
-            odd = ext.s_mul_base(
-                ext.s_sub(v0, v1), half_inv * pow(x, bb.P - 2, bb.P) % bb.P
-            )
-            expected = ext.s_add(even, ext.s_mul(betas[r], odd))
-            idx = j
-        # final polynomial evaluation at the tracked point
-        w = bb.two_adic_generator(fin_log)
-        x = shifts[n_rounds] * pow(w, idx, bb.P) % bb.P
-        value = ext.S_ZERO
-        for c in reversed(final_coeffs):
-            value = ext.s_add(ext.s_mul_base(value, x), c)
-        if value != expected:
-            raise FriError("final polynomial mismatch")
+        indices[qi] = leaf_index
+
+    half_inv = (bb.P + 1) // 2
+    idx = indices.copy()
+    expected = None  # (nq, 4) value the current round must contain at `idx`
+    v0_r0 = v1_r0 = None
+    for r in range(n_rounds):
+        cur_log = log_n - r
+        n_half = 1 << (cur_log - 1)
+        depth = cur_log - 1
+        j = idx % n_half
+        leaves = _as_field_array(
+            [q["rounds"][r]["leaf"] for q in queries], (nq, 8), "malformed FRI leaf"
+        )
+        paths = _as_field_array(
+            [q["rounds"][r]["path"] for q in queries],
+            (nq, depth, 8),
+            "malformed FRI path",
+        )
+        if not verify_openings_batch(proof["roots"][r], j, leaves, paths):
+            raise FriError(f"bad Merkle opening in round {r}")
+        v0 = leaves[:, 0:4]
+        v1 = leaves[:, 4:8]
+        if r == 0:
+            v0_r0, v1_r0 = v0, v1
+        else:
+            got = np.where((idx < n_half)[:, None], v0, v1)
+            if not np.array_equal(got, expected):
+                raise FriError(f"fold mismatch entering round {r}")
+        # fold to the next round's value at index j (vectorized)
+        w = bb.two_adic_generator(cur_log)
+        x = shifts[r] * _pow_mod_vec(w, j.astype(np.uint64)) % np.uint64(bb.P)
+        x_inv = enp._pow_base(x, bb.P - 2)
+        even = enp.mul_base(enp.add(v0, v1), np.full(nq, half_inv, np.uint64))
+        odd = enp.mul_base(enp.sub(v0, v1), np.uint64(half_inv) * x_inv % np.uint64(bb.P))
+        beta_arr = np.asarray(betas[r], dtype=np.uint64)[None, :]
+        expected = enp.add(even, enp.mul(np.broadcast_to(beta_arr, odd.shape), odd))
+        idx = j
+
+    # final polynomial evaluation at the tracked points (vectorized Horner)
+    fin_log = final_len.bit_length() - 1
+    w = bb.two_adic_generator(fin_log)
+    x = shifts[n_rounds] * _pow_mod_vec(w, idx.astype(np.uint64)) % np.uint64(bb.P)
+    value = np.zeros((nq, 4), dtype=np.uint64)
+    for c in reversed(final_coeffs):
+        value = enp.add(
+            enp.mul_base(value, x), np.asarray(c, dtype=np.uint64)[None, :]
+        )
+    if not np.array_equal(value, expected):
+        raise FriError("final polynomial mismatch")
+
+    open_input_batch(indices, v0_r0, v1_r0)
     return True

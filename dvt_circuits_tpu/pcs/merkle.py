@@ -180,3 +180,56 @@ def verify_opening(root, index: int, row, path) -> bool:
             digest = _s_compress(digest, sib)
         idx >>= 1
     return digest == [int(v) for v in root]
+
+
+def host_merkle_root(matrix_std) -> list:
+    """Whole-tree root on the HOST from a standard-form (n, w) matrix —
+    native-batched Poseidon2, scalar fallback.  Bit-identical to the device
+    ``build_levels`` root (which hashes the Montgomery image of the same
+    values).  Used by the verifier's preprocessed-commitment recomputation
+    so verification never dispatches to an accelerator."""
+    from ..utils import native
+
+    matrix = np.asarray(matrix_std, dtype=np.uint32)
+    digests = native.hash_rows_np(matrix)
+    if digests is None:
+        digests = np.array([_s_hash_row([int(v) for v in r]) for r in matrix],
+                           dtype=np.uint32)
+    while digests.shape[0] > 1:
+        pairs = digests.reshape(-1, 16)
+        nxt = native.compress_np(pairs)
+        if nxt is None:
+            nxt = np.array(
+                [_s_compress(p[:8], p[8:]) for p in pairs], dtype=np.uint32
+            )
+        digests = nxt
+    return [int(v) for v in digests[0]]
+
+
+def verify_openings_batch(root, indices, rows, paths) -> bool:
+    """Batched verification of same-tree openings (the verifier's hot path:
+    every query opens the same committed matrix).
+
+    ``rows``: (nq, w); ``paths``: (nq, depth, 8); all standard-form.  Uses
+    the native host library in two calls per level; falls back to the scalar
+    walk when it is unavailable."""
+    from ..utils import native
+
+    rows = np.asarray(rows, dtype=np.uint32)
+    paths = np.asarray(paths, dtype=np.uint32)
+    digests = native.hash_rows_np(rows)
+    if digests is None:  # pure-Python fallback
+        return all(
+            verify_opening(root, int(i), r, p)
+            for i, r, p in zip(indices, rows, paths)
+        )
+    # copy: the shift below must not mutate the caller's index array
+    idx = np.array(indices, dtype=np.int64, copy=True)
+    for level in range(paths.shape[1]):
+        sib = paths[:, level]
+        odd = (idx & 1).astype(bool)[:, None]
+        left = np.where(odd, sib, digests)
+        right = np.where(odd, digests, sib)
+        digests = native.compress_np(np.concatenate([left, right], axis=1))
+        idx >>= 1
+    return bool(np.all(digests == np.asarray(root, dtype=np.uint32)[None, :]))

@@ -13,16 +13,17 @@ flow (src/main.rs:430-507):
     subcommand, which re-executes the circuit ELF — divergence documented in
     SURVEY.md §3.5): replays the transcript and FRI queries host-side.
 
-Proof semantics (v2, multi-table): one shared Fiat–Shamir transcript chains
+Proof semantics (v3, two tables): one shared Fiat–Shamir transcript chains
 
   1. the Poseidon2 stream AIR binding the witness program's committed
      public-value stream (circuit id, auth mode, stream → digest), and
-  2. one SHA-256 gadget AIR per distinct SHA-256 the witness computed
-     (commitment hashes, ECDH key derivation — recorded by
-     ``dkg.hash_recorder``), each proving digest = SHA-256(preimage) in
-     constraints, with digests that appear in the committed stream bound
-     to it by the verifier (offset check against the hex encoding the
-     guests commit).
+  2. ONE multi-message SHA-256 table proving every distinct SHA-256 the
+     witness computed (commitment hashes, ECDH key derivation — recorded by
+     ``dkg.hash_recorder``): digest = SHA-256(preimage) in constraints per
+     message, with digests that appear in the committed stream bound to it
+     by the verifier (offset check against the hex encoding the guests
+     commit).  Both tables prove in a single device dispatch
+     (stark/fused.py).
 
 This is the staged arithmetization of the DKG checks (README roadmap):
 the hash chain no longer relies on witness re-execution.  Remaining trust
@@ -31,6 +32,7 @@ gap (documented): curve relations (BLS/secp) are not yet in-circuit.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -40,6 +42,7 @@ from ..dkg.hash_recorder import recording
 from ..pcs.challenger import DuplexChallenger
 from ..stark import prove as stark_prove
 from ..stark import verify as stark_verify
+from ..stark.fused import prove_tables as fused_prove_tables
 from ..stark.config import DEFAULT_CONFIG, StarkConfig
 from ..stark.poseidon2_air import (
     Poseidon2StreamAir,
@@ -50,7 +53,7 @@ from ..stark.sha256_air import Sha256Air, digest_from_publics, pad_message
 from ..stark.verifier import StarkError
 from ..utils import cbor
 
-PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v2"
+PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v3"
 
 #: cap on per-proof SHA-256 gadget tables (committee hashes are O(n); the
 #: cap exists to bound proof size — the count omitted is recorded in the
@@ -77,14 +80,28 @@ def execute_circuit(
     return run_guest(spec.guest, payload, auth)
 
 
-def _stream_words(circuit_name: str, auth: bool, setup: str, stream: bytes) -> list:
-    """Absorption stream: circuit-identity header + byte stream as words."""
+def _stream_words(
+    circuit_name: str, auth: bool, setup: str, stream: bytes, gadgets: list
+) -> list:
+    """Absorption stream: circuit-identity header + gadget-structure
+    descriptor + byte stream as words.
+
+    The descriptor (gadget count, per-gadget message block counts and stream
+    offsets) is absorbed by the stream AIR so the gadget set is committed:
+    stripping or altering gadget tables desynchronizes the stream digest and
+    the proof fails — without this, a prover could drop the hash-relation
+    tables from a container and still verify."""
     header = [
         _CIRCUIT_IDS[circuit_name],
         int(auth),
         int(setup == "bls-commitment"),
         len(stream),
+        len(gadgets),
     ]
+    for g in gadgets:
+        bcs = [int(b) for b in g["block_counts"]]
+        offs = [0 if o is None else int(o) + 1 for o in g["stream_offsets"]]
+        header += [len(bcs)] + bcs + offs
     return header + stream_to_words(stream)
 
 
@@ -103,11 +120,6 @@ def prove_circuit(
         raise ProveError(
             f"witness execution failed (guest panic): {result.panic_message}"
         )
-    words = _stream_words(circuit_name, auth, setup, result.public_values)
-    num_chunks = max(1, -(-len(words) // 8))
-    air = Poseidon2StreamAir(num_chunks)
-    trace, publics = air.generate_trace(words)
-
     # distinct SHA-256 relations the witness relied on, in first-use order
     seen: set = set()
     sha_relations = []
@@ -117,28 +129,72 @@ def prove_circuit(
             sha_relations.append((preimage, digest))
     omitted = max(0, len(sha_relations) - MAX_SHA_GADGETS)
     sha_relations = sha_relations[:MAX_SHA_GADGETS]
-    witness_time = time.time() - t0
 
-    # multi-table proof: stream AIR first, then each gadget, one transcript
-    t0 = time.time()
-    challenger = DuplexChallenger()
-    stark = stark_prove(air, trace, publics, config, challenger)
+    # Two-table proof on one transcript: the stream AIR, then ONE SHA-256
+    # table carrying every recorded hash relation (multi-message Sha256Air —
+    # the per-invocation-gadget layout of proof v2 cost one STARK per hash).
+    # Messages are sorted by block count (stable) and padded with 1-block
+    # dummy messages to a power-of-two count to bound compile-cache keys.
     gadgets = []
-    for preimage, digest in sha_relations:
-        padded = pad_message(preimage)
-        g_air = Sha256Air(len(padded) // 64)
-        g_trace, g_publics = g_air.generate_trace(padded)
-        g_proof = stark_prove(g_air, g_trace, g_publics, config, challenger)
-        # guests commit digests as hex text; bind where the digest appears
-        off = result.public_values.find(digest.hex().encode("ascii"))
+    gadget_entry = None
+    if sha_relations:
+        padded_msgs = []
+        offsets = []
+        for preimage, digest in sha_relations:
+            padded_msgs.append(pad_message(preimage))
+            # guests commit digests as hex text; bind where the digest appears
+            off = result.public_values.find(digest.hex().encode("ascii"))
+            offsets.append(off if off >= 0 else None)
+        order = sorted(
+            range(len(padded_msgs)), key=lambda i: -len(padded_msgs[i])
+        )
+        padded_msgs = [padded_msgs[i] for i in order]
+        offsets = [offsets[i] for i in order]
+        target = 1 << (len(padded_msgs) - 1).bit_length()
+        while len(padded_msgs) < target:
+            padded_msgs.append(pad_message(b""))
+            offsets.append(None)
+        block_counts = tuple(len(p) // 64 for p in padded_msgs)
         gadgets.append(
             {
                 "kind": "sha256",
-                "num_blocks": len(padded) // 64,
-                "stream_offset": off if off >= 0 else None,
-                "proof": g_proof,
+                "block_counts": list(block_counts),
+                "stream_offsets": offsets,
+                "proof": None,  # filled below
             }
         )
+        g_air = Sha256Air(block_counts)
+        gadget_entry = (g_air, *g_air.generate_trace(padded_msgs))
+
+    # the absorbed words commit to the gadget structure (see _stream_words)
+    words = _stream_words(circuit_name, auth, setup, result.public_values, gadgets)
+    # pad the chunk count to a power of two: the trace height is padded to a
+    # power of two anyway, and this collapses the compile-cache key variety
+    num_chunks = max(1, -(-len(words) // 8))
+    num_chunks = 1 << (num_chunks - 1).bit_length()
+    air = Poseidon2StreamAir(num_chunks)
+    trace, publics = air.generate_trace(words)
+    witness_time = time.time() - t0
+
+    # Default path: the whole proof is ONE device dispatch (stark/fused.py);
+    # DVT_FUSED=0 falls back to the phase-per-dispatch legacy prover
+    # (bit-identical output, kept as the cross-check oracle).
+    t0 = time.time()
+    entries = [(air, trace, publics)]
+    if gadget_entry is not None:
+        entries.append(gadget_entry)
+
+    if os.environ.get("DVT_FUSED", "1") != "0":
+        proofs, _ = fused_prove_tables(entries, config)
+    else:
+        challenger = DuplexChallenger()
+        proofs = [
+            stark_prove(e_air, e_trace, e_publics, config, challenger)
+            for e_air, e_trace, e_publics in entries
+        ]
+    stark = proofs[0]
+    if gadgets:
+        gadgets[0]["proof"] = proofs[1]
     prove_time = time.time() - t0
 
     return {
@@ -195,8 +251,15 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     if config.num_queries < 12 or config.log_blowup < 1:
         raise VerifyError("proof config below minimum security floor")
 
-    words = _stream_words(name, auth, setup, stream)
+    gadgets_list = container.get("gadgets", [])
+    try:
+        # the absorbed words commit to the gadget structure, so a stripped
+        # or altered gadget set desynchronizes the stream digest below
+        words = _stream_words(name, auth, setup, stream, gadgets_list)
+    except (KeyError, TypeError, ValueError) as e:
+        raise VerifyError(f"malformed gadget descriptor: {e}") from None
     num_chunks = max(1, -(-len(words) // 8))
+    num_chunks = 1 << (num_chunks - 1).bit_length()
     air = Poseidon2StreamAir(num_chunks)
     padded = [w % 2013265921 for w in words] + [0] * (8 * num_chunks - len(words))
     digest = hash_stream_words(padded)
@@ -205,7 +268,7 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     challenger = DuplexChallenger()
     try:
         stark_verify(air, container["stark"], publics, config, challenger)
-        for entry in container.get("gadgets", []):
+        for entry in gadgets_list:
             _verify_sha_gadget(entry, stream, config, challenger)
     except StarkError as e:
         raise VerifyError(f"STARK verification failed: {e}") from None
@@ -217,28 +280,32 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
 def _verify_sha_gadget(
     entry: dict, stream: bytes, config: StarkConfig, challenger: DuplexChallenger
 ) -> None:
-    """Verify one SHA-256 gadget table and its stream binding.
+    """Verify the multi-message SHA-256 table and its stream bindings.
 
-    The gadget's public values (message + digest limbs) come from the
-    sub-proof itself; the AIR constraints tie digest to message, and the
-    offset check ties the digest to the committed stream (guests commit
+    The table's public values (per-message message + digest limbs) come from
+    the sub-proof itself; the AIR constraints tie each digest to its message,
+    and the offset checks tie digests to the committed stream (guests commit
     hashes as hex text — circuits/guest_api.py framing)."""
     if entry.get("kind") != "sha256":
         raise VerifyError(f"unknown gadget kind {entry.get('kind')!r}")
-    num_blocks = int(entry["num_blocks"])
-    if not 1 <= num_blocks <= 64:
+    block_counts = [int(v) for v in entry["block_counts"]]
+    offsets = entry.get("stream_offsets", [])
+    if not 1 <= len(block_counts) <= 64 or len(offsets) != len(block_counts):
+        raise VerifyError("gadget message count out of range")
+    if any(not 1 <= b <= 64 for b in block_counts) or sum(block_counts) > 256:
         raise VerifyError("gadget block count out of range")
-    g_air = Sha256Air(num_blocks)
+    g_air = Sha256Air(tuple(block_counts))
     g_publics = [int(v) for v in entry["proof"]["public_values"]]
     try:
         g_air.check_publics(g_publics)
     except ValueError as e:
         raise VerifyError(f"gadget publics: {e}") from None
     stark_verify(g_air, entry["proof"], g_publics, config, challenger)
-    off = entry.get("stream_offset")
-    if off is not None:
+    for mi, off in enumerate(offsets):
+        if off is None:
+            continue
         off = int(off)
-        digest_hex = digest_from_publics(g_air, g_publics).hex().encode("ascii")
+        digest_hex = digest_from_publics(g_air, g_publics, mi).hex().encode("ascii")
         if not 0 <= off <= len(stream) - 64 or stream[off : off + 64] != digest_hex:
             raise VerifyError("gadget digest not bound to the committed stream")
 

@@ -1,0 +1,563 @@
+"""Single-dispatch STARK prover: the whole proof (all tables) on device.
+
+The v2 pipeline drove each proof phase from Python, so one multi-table proof
+cost dozens of host↔device round trips — latency-dominated under a remote
+TPU tunnel (each dispatch is a network round trip).  Here the ENTIRE proving
+transcript runs inside one jitted function: the Fiat–Shamir challenger is
+traced (its observe/sample *schedule* is static — it depends only on table
+shapes and config — so only the 16-word sponge state is a device value),
+Merkle openings become batched gathers, the proof-of-work grind is an
+on-device `while_loop`, and the proof arrives as one structured fetch.
+
+This is the TPU-native analogue of SP1 proving a full shard on an
+accelerator without host synchronization (SURVEY.md §2.2): same transcript,
+same proof format, bit-identical output to the phase-based
+``stark.prover.prove`` (asserted by tests), verified by the unchanged host
+verifier (``stark.verifier.verify``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..field import ext
+from ..ntt import intt
+from ..pcs.fri import _inv2x_table, _pair_matrix
+from ..pcs.merkle import build_levels
+from ..hash.poseidon2 import RATE, WIDTH, poseidon2_permute
+from .air import Air
+from .config import StarkConfig
+from .prover import (
+    _domain_tables,
+    deep_body,
+    lde_body,
+    openings_body,
+    quotient_body,
+)
+
+
+class TraceChallenger:
+    """Traced mirror of ``pcs.challenger.DuplexChallenger``.
+
+    The duplex schedule (when permutations fire) is a function of the static
+    observe/sample sequence, so the input/output buffer positions are plain
+    Python ints at trace time; only the sponge state is a traced (16,)
+    Montgomery-form array.  Bit-exact against the host challenger (tested):
+    host state words are standard-form ints, this state is their Montgomery
+    image, and ``poseidon2_permute∘to_mont == to_mont∘s_permute``.
+    """
+
+    def __init__(self, state_mont=None):
+        self.state = (
+            jnp.zeros((WIDTH,), jnp.uint32) if state_mont is None else state_mont
+        )
+        self._ibuf: list = []  # traced Montgomery scalars pending absorption
+        self._navail = 0  # static count of unread output words
+        self._off = 0
+
+    # -- observing ----------------------------------------------------------
+
+    def observe_mont(self, v) -> None:
+        self._navail = 0
+        self._ibuf.append(v)
+        if len(self._ibuf) == RATE:
+            self._duplex()
+
+    def observe_const(self, value: int) -> None:
+        self.observe_mont(jnp.asarray(np.uint32(bb.s_to_mont(value % bb.P))))
+
+    def observe_array(self, arr_mont) -> None:
+        """Absorb every element of a traced Montgomery array, in order."""
+        flat = arr_mont.reshape(-1)
+        for i in range(flat.shape[0]):
+            self.observe_mont(flat[i])
+
+    # -- sampling -----------------------------------------------------------
+
+    def _duplex(self) -> None:
+        st = self.state
+        if self._ibuf:
+            st = jnp.concatenate(
+                [jnp.stack(self._ibuf), st[len(self._ibuf) :]]
+            )
+        self.state = poseidon2_permute(st)
+        self._ibuf = []
+        self._off = 0
+        self._navail = RATE
+
+    def sample_mont(self):
+        if self._ibuf or self._navail == 0:
+            self._duplex()
+        v = self.state[self._off]
+        self._off += 1
+        self._navail -= 1
+        return v
+
+    def sample_ext_mont(self):
+        return jnp.stack([self.sample_mont() for _ in range(ext.D)])
+
+    def sample_bits(self, bits: int):
+        assert bits <= 27
+        return bb.from_mont(self.sample_mont()) & np.uint32((1 << bits) - 1)
+
+    # -- proof of work ------------------------------------------------------
+
+    def grind(self, bits: int):
+        """On-device witness search mirroring the host grind: scan candidate
+        witnesses from 0 upward in batches, take the first (lowest) hit —
+        identical result to ``DuplexChallenger.grind``.  Returns (witness,
+        post-observe sampled bits) and advances the transcript like the host
+        ``check_witness`` success path (observe + one sample)."""
+        batch = 1 << min(bits + 2, 17)
+        pos = len(self._ibuf)
+        st = self.state
+        if self._ibuf:
+            st = jnp.concatenate([jnp.stack(self._ibuf), st[pos:]])
+        mask = np.uint32((1 << bits) - 1)
+
+        def try_batch(base):
+            cands = (base + jnp.arange(batch, dtype=jnp.uint32)) % np.uint32(bb.P)
+            states = jnp.broadcast_to(st, (batch, WIDTH))
+            states = states.at[:, pos].set(bb.to_mont(cands))
+            out = poseidon2_permute(states)
+            ok = (bb.from_mont(out[:, 0]) & mask) == 0
+            hit = jnp.argmax(ok)
+            return cands[hit], ok[hit]
+
+        def cond(carry):
+            _, _, found = carry
+            return ~found
+
+        def body(carry):
+            base, _, _ = carry
+            w, found = try_batch(base)
+            return (base + np.uint32(batch), w, found)
+
+        w0, found0 = try_batch(jnp.asarray(np.uint32(0)))
+        _, w, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(np.uint32(batch)), w0, found0)
+        )
+        self.observe_mont(bb.to_mont(w))
+        check = self.sample_bits(bits)  # advances transcript; must be 0
+        return w, check
+
+
+# ---------------------------------------------------------------------------
+# Traced Merkle helpers
+# ---------------------------------------------------------------------------
+
+
+def _root_of(levels):
+    return levels[-1][0]  # (8,) Montgomery
+
+
+def _gather_rows(matrix, idxs):
+    """(n, w) matrix, (nq,) indices → (nq, w) standard-form rows."""
+    return bb.from_mont(jnp.take(matrix, idxs.astype(jnp.int32), axis=0))
+
+
+def _gather_paths(levels, idxs):
+    """Sibling paths for a batch of leaf indices → (nq, depth, 8) standard."""
+    sibs = []
+    cur = idxs.astype(jnp.int32)
+    for level in levels[:-1]:
+        sibs.append(jnp.take(level, cur ^ 1, axis=0))  # (nq, 8)
+        cur = cur >> 1
+    return bb.from_mont(jnp.stack(sibs, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Fused prover
+# ---------------------------------------------------------------------------
+
+_FUSED_CACHE: dict = {}
+
+#: on-disk AOT export cache: tracing+lowering the fused graph costs minutes
+#: for wide AIRs, and the XLA persistent cache only skips the *compile* step
+#: (keyed by HLO — which we must re-derive by tracing).  Serializing the
+#: Exported (StableHLO) module skips tracing entirely in fresh processes.
+_AOT_DIR = os.path.expanduser(
+    os.environ.get("DVT_TPU_AOT_CACHE", "~/.cache/dvt_circuits_tpu/aot")
+)
+
+_CODE_FP = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of the package sources — a stale AOT blob must never outlive a
+    code change (it would silently prove with old semantics)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        h = hashlib.sha256()
+        pkg = Path(__file__).resolve().parent.parent
+        for p in sorted(pkg.rglob("*.py")):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
+def _aot_cached(key, fused_fn, counters, state_mont, inputs):
+    """Return (callable, counters), loading/storing a serialized export.
+
+    On a cache hit the build-time counters are restored from the sidecar
+    (they are normally filled during tracing, which a hit skips).  Any
+    failure falls back to the plain jitted function."""
+    if os.environ.get("DVT_DISABLE_AOT") == "1":
+        return fused_fn, counters
+    try:
+        from jax import export as jax_export
+
+        kh = hashlib.sha256(
+            (
+                repr(key)
+                + jax.__version__
+                + jax.default_backend()
+                + _code_fingerprint()
+            ).encode()
+        ).hexdigest()[:24]
+        os.makedirs(_AOT_DIR, exist_ok=True)
+        blob_path = os.path.join(_AOT_DIR, kh + ".bin")
+        meta_path = os.path.join(_AOT_DIR, kh + ".json")
+        if os.path.exists(blob_path) and os.path.exists(meta_path):
+            with open(blob_path, "rb") as f:
+                exported = jax_export.deserialize(bytearray(f.read()))
+            with open(meta_path) as f:
+                saved_counts = json.load(f)
+            for c, saved in zip(counters, saved_counts):
+                c.update(saved)
+            return jax.jit(exported.call), counters
+        exported = jax_export.export(fused_fn)(state_mont, inputs)
+        with open(blob_path, "wb") as f:
+            f.write(exported.serialize())
+        with open(meta_path, "w") as f:
+            json.dump(list(counters), f)
+        return jax.jit(exported.call), counters
+    except Exception:
+        return fused_fn, counters
+
+
+def _table_key(air: Air, log_n: int, n_publics: int):
+    return (air.cache_key(), log_n, n_publics)
+
+
+def _build_fused(air_list, log_ns, n_publics_list, config: StarkConfig):
+    """Build (and jit) the single-dispatch prover for a static table list."""
+    counters = [dict() for _ in air_list]
+
+    # Materialize every lru-cached constant table EAGERLY (outside the trace):
+    # _domain_tables/_inv2x_table build their arrays with jnp ops, and a
+    # first call from inside the traced function would cache tracers
+    # (UnexpectedTracerError on the next use).
+    final_len = (1 << config.log_final_poly_len) * config.blowup
+    for log_n in set(log_ns):
+        _domain_tables(log_n, config.log_blowup, config.shift)
+        size = 1 << (log_n + config.log_blowup)
+        shift_r = config.shift
+        while size > final_len:
+            _inv2x_table(shift_r, size.bit_length() - 1)
+            shift_r = shift_r * shift_r % bb.P
+            size //= 2
+
+    def table_body(ch: TraceChallenger, air, log_n, trace_std, publics_std, pre_std):
+        n = 1 << log_n
+        width = air.width
+        pre_width = air.preprocessed_width
+        log_blowup = config.log_blowup
+        n_lde = n << log_blowup
+        tables = _domain_tables(log_n, log_blowup, config.shift)
+        idx = air_list.index(air)
+
+        ch.observe_const(log_n)
+        ch.observe_const(width)
+        publics_mont = bb.to_mont(publics_std if publics_std.shape[0] else jnp.zeros((1,), jnp.uint32))
+        ch.observe_array(bb.to_mont(publics_std))
+
+        # 0. preprocessed commitment
+        out: dict = {}
+        p_lde = jnp.zeros((0,), jnp.uint32)
+        p_levels = None
+        if pre_width:
+            p_lde = lde_body(pre_std, config)
+            p_levels = build_levels(p_lde)
+            out["root_p"] = bb.from_mont(_root_of(p_levels))
+            ch.observe_array(_root_of(p_levels))
+
+        # 1. trace LDE + commit
+        t_lde = lde_body(trace_std, config)
+        t_levels = build_levels(t_lde)
+        out["root_t"] = bb.from_mont(_root_of(t_levels))
+        ch.observe_array(_root_of(t_levels))
+        alpha_mont = ch.sample_ext_mont()
+
+        # 2.–3. quotient + chunk commitment
+        q_matrix, q_col_coeffs = quotient_body(
+            air, t_lde, p_lde, alpha_mont, publics_mont, tables, log_n, config,
+            counters[idx],
+        )
+        q_levels = build_levels(q_matrix)
+        out["root_q"] = bb.from_mont(_root_of(q_levels))
+        ch.observe_array(_root_of(q_levels))
+        zeta_mont = ch.sample_ext_mont()
+        g = bb.two_adic_generator(log_n)
+        gzeta_mont = ext.mul_base(
+            zeta_mont, jnp.asarray(np.uint32(bb.s_to_mont(g)))
+        )
+
+        # 4. openings at ζ, g·ζ
+        opened = openings_body(
+            air, t_lde, p_lde, q_col_coeffs, zeta_mont, gzeta_mont, log_n, config
+        )
+        for name in ("p_zeta", "p_gzeta") if pre_width else ():
+            ch.observe_array(opened[name])
+        ch.observe_array(opened["t_zeta"])
+        ch.observe_array(opened["t_gzeta"])
+        ch.observe_array(opened["q_zeta"])
+        gamma_mont = ch.sample_ext_mont()
+        out["opened"] = {k: bb.from_mont(v) for k, v in opened.items()}
+
+        # 5. DEEP codeword
+        G = deep_body(
+            air, t_lde, p_lde, q_matrix, opened, zeta_mont, gzeta_mont, gamma_mont,
+            tables, config,
+        )
+
+        # 6. FRI commit/fold (static round count)
+        final_len = (1 << config.log_final_poly_len) * config.blowup
+        codeword = G
+        shift_r = config.shift
+        fri_trees = []  # (levels, matrix)
+        fri_roots = []
+        size = n_lde
+        while size > final_len:
+            mat = _pair_matrix(codeword)
+            levels = build_levels(mat)
+            fri_trees.append((levels, mat))
+            fri_roots.append(bb.from_mont(_root_of(levels)))
+            ch.observe_array(_root_of(levels))
+            beta_mont = ch.sample_ext_mont()
+            cur_log = size.bit_length() - 1
+            half = size // 2
+            v0 = codeword[:half]
+            v1 = codeword[half:]
+            half_const = np.uint32(bb.s_to_mont((bb.P + 1) // 2))
+            even = ext.mul_base(
+                ext.add(v0, v1), jnp.full((half,), half_const, jnp.uint32)
+            )
+            odd = ext.mul_base(ext.sub(v0, v1), _inv2x_table(shift_r, cur_log))
+            codeword = ext.add(
+                even, ext.mul(jnp.broadcast_to(beta_mont, odd.shape), odd)
+            )
+            shift_r = shift_r * shift_r % bb.P
+            size = half
+        out["fri_roots"] = fri_roots
+
+        # final polynomial (coset iNTT + unscale, truncate by the rate)
+        fin_n = size
+        coeffs = intt(codeword, axis=0)
+        s_inv = bb.s_inv(shift_r)
+        unscale = np.empty(fin_n, dtype=np.uint64)
+        acc = 1
+        for i in range(fin_n):
+            unscale[i] = acc
+            acc = acc * s_inv % bb.P
+        coeffs = ext.mul_base(coeffs, jnp.asarray(bb.np_to_mont(unscale)))
+        keep = fin_n >> config.log_blowup
+        out["final_ok"] = jnp.all(coeffs[keep:] == 0)
+        for i in range(keep):
+            ch.observe_array(coeffs[i])
+        out["final_coeffs"] = bb.from_mont(coeffs[:keep])
+
+        # 7. proof of work + queries
+        w, check = ch.grind(config.proof_of_work_bits)
+        out["pow_witness"] = w
+        out["pow_check"] = check
+
+        log_n0 = (n_lde).bit_length() - 1
+        q_idx = jnp.stack(
+            [ch.sample_bits(log_n0 - 1) for _ in range(config.num_queries)]
+        )  # (nq,)
+        out["q_indices"] = q_idx
+
+        # FRI round openings: i_{r+1} = i_r mod N_r/2
+        fri_leaves = []
+        fri_paths = []
+        idxs = q_idx
+        for levels, mat in fri_trees:
+            n_half = mat.shape[0]
+            j = idxs % np.uint32(n_half)
+            fri_leaves.append(_gather_rows(mat, j))
+            fri_paths.append(_gather_paths(levels, j))
+            idxs = j
+        out["fri_leaves"] = fri_leaves
+        out["fri_paths"] = fri_paths
+
+        # outer openings at i and i + N/2 for each committed matrix
+        half = n_lde // 2
+        outer = {}
+        tree_list = [("t", t_levels, t_lde), ("q", q_levels, q_matrix)]
+        if pre_width:
+            tree_list.insert(0, ("p", p_levels, p_lde))
+        for name, levels, mat in tree_list:
+            hi_idx = q_idx + np.uint32(half)
+            outer[name] = {
+                "lo_row": _gather_rows(mat, q_idx),
+                "lo_path": _gather_paths(levels, q_idx),
+                "hi_row": _gather_rows(mat, hi_idx),
+                "hi_path": _gather_paths(levels, hi_idx),
+            }
+        out["outer"] = outer
+        return out
+
+    def fused(state_mont, table_inputs):
+        ch = TraceChallenger(state_mont)
+        outs = []
+        for air, log_n, inp in zip(air_list, log_ns, table_inputs):
+            outs.append(
+                table_body(ch, air, log_n, inp["trace"], inp["publics"], inp["pre"])
+            )
+        if ch._ibuf:  # flush pending observes into the state for chaining
+            ch._duplex()
+        return outs, ch.state
+
+    return jax.jit(fused), counters
+
+
+def prove_tables(
+    entries: Sequence[tuple],
+    config: StarkConfig,
+    state_mont=None,
+):
+    """Prove a sequence of (air, trace, public_values) tables in ONE device
+    dispatch, chaining a single Fiat–Shamir transcript across them.
+
+    Returns (proof_dicts, final_state_mont).  Each proof dict is in the
+    exact format of ``stark.prover.prove`` and verifies with
+    ``stark.verifier.verify`` (chained through a host ``DuplexChallenger``
+    in the same table order).
+    """
+    air_list = []
+    log_ns = []
+    n_publics_list = []
+    inputs = []
+    for air, trace, publics in entries:
+        trace = np.asarray(trace, dtype=np.uint32)
+        n, width = trace.shape
+        log_n = n.bit_length() - 1
+        if 1 << log_n != n:
+            raise ValueError("trace height must be a power of two")
+        if width != air.width:
+            raise ValueError("trace width does not match the AIR")
+        publics = [int(v) % bb.P for v in publics]
+        if len(publics) != air.num_public_values:
+            raise ValueError("wrong number of public values")
+        pre = (
+            np.asarray(air.preprocessed_trace(n), dtype=np.uint32)
+            if air.preprocessed_width
+            else np.zeros((n, 0), dtype=np.uint32)
+        )
+        air_list.append(air)
+        log_ns.append(log_n)
+        n_publics_list.append(len(publics))
+        inputs.append(
+            {
+                "trace": jnp.asarray(trace),
+                "publics": jnp.asarray(np.array(publics, dtype=np.uint32)),
+                "pre": jnp.asarray(pre),
+            }
+        )
+
+    key = (
+        tuple(_table_key(a, ln, npub) for a, ln, npub in zip(air_list, log_ns, n_publics_list)),
+        config,
+    )
+    if state_mont is None:
+        state_mont = jnp.zeros((WIDTH,), jnp.uint32)
+    hit = _FUSED_CACHE.get(key)
+    if hit is None:
+        fused_fn, counters = _build_fused(air_list, log_ns, n_publics_list, config)
+        fused_fn, counters = _aot_cached(key, fused_fn, counters, state_mont, inputs)
+        hit = _FUSED_CACHE[key] = (fused_fn, counters)
+    fused_fn, counters = hit
+    outs_dev, state_out = fused_fn(state_mont, inputs)
+    outs = jax.device_get(outs_dev)
+
+    proofs = []
+    for air, log_n, npub, inp, out, counter in zip(
+        air_list, log_ns, n_publics_list, inputs, outs, counters
+    ):
+        if not bool(out["final_ok"]):
+            raise AssertionError("final codeword exceeds degree bound — prover bug")
+        if int(out["pow_check"]) != 0:
+            raise AssertionError("on-device grind failed")  # pragma: no cover
+        n_lde = (1 << log_n) << config.log_blowup
+        queries = []
+        for qi in range(config.num_queries):
+            rounds = []
+            for r in range(len(out["fri_roots"])):
+                rounds.append(
+                    {
+                        "leaf": [int(v) for v in out["fri_leaves"][r][qi]],
+                        "path": [[int(v) for v in p] for p in out["fri_paths"][r][qi]],
+                    }
+                )
+            queries.append({"index": int(out["q_indices"][qi]), "rounds": rounds})
+
+        openings = []
+        names = (["p"] if air.preprocessed_width else []) + ["t", "q"]
+        for qi in range(config.num_queries):
+            rows = {}
+            for name in names:
+                o = out["outer"][name]
+                rows[name] = {
+                    "lo": {
+                        "row": [int(v) for v in o["lo_row"][qi]],
+                        "path": [[int(v) for v in p] for p in o["lo_path"][qi]],
+                    },
+                    "hi": {
+                        "row": [int(v) for v in o["hi_row"][qi]],
+                        "path": [[int(v) for v in p] for p in o["hi_path"][qi]],
+                    },
+                }
+            openings.append(rows)
+
+        proof = {
+            "version": 1,
+            "log_n": log_n,
+            "width": air.width,
+            "public_values": [int(v) for v in np.asarray(inp["publics"])],
+            "root_t": [int(v) for v in out["root_t"]],
+            "root_q": [int(v) for v in out["root_q"]],
+            "opened_t_zeta": [[int(x) for x in v] for v in out["opened"]["t_zeta"]],
+            "opened_t_gzeta": [[int(x) for x in v] for v in out["opened"]["t_gzeta"]],
+            "opened_q_zeta": [[int(x) for x in v] for v in out["opened"]["q_zeta"]],
+            "fri": {
+                "roots": [[int(v) for v in r] for r in out["fri_roots"]],
+                "final_coeffs": [[int(x) for x in c] for c in out["final_coeffs"]],
+                "pow_witness": int(out["pow_witness"]),
+                "queries": queries,
+                "log_n": log_n + config.log_blowup,
+            },
+            "query_openings": openings,
+            "constraint_count": counter.get("constraints"),
+        }
+        if air.preprocessed_width:
+            proof["root_p"] = [int(v) for v in out["root_p"]]
+            proof["opened_p_zeta"] = [
+                [int(x) for x in v] for v in out["opened"]["p_zeta"]
+            ]
+            proof["opened_p_gzeta"] = [
+                [int(x) for x in v] for v in out["opened"]["p_gzeta"]
+            ]
+        proofs.append(proof)
+    return proofs, state_out

@@ -264,6 +264,158 @@ def _ext_dot(a_ext, b_ext):
 
 
 # ---------------------------------------------------------------------------
+# Phase bodies (module-level, traced by both the per-phase jits below and the
+# single-dispatch fused prover in stark/fused.py)
+# ---------------------------------------------------------------------------
+
+
+def lde_body(mat_std, config: StarkConfig):
+    """standard-form matrix → coset LDE (Montgomery)."""
+    return coset_lde(bb.to_mont(mat_std), config.log_blowup, config.shift, axis=0)
+
+
+def quotient_body(
+    air: Air,
+    t_lde,
+    p_lde,
+    alpha_mont,
+    publics_mont,
+    tables,
+    log_n: int,
+    config: StarkConfig,
+    counter: dict | None = None,
+):
+    """Constraint quotient + chunked commitment matrix for one AIR table."""
+    n = 1 << log_n
+    width = air.width
+    pre_width = air.preprocessed_width
+    log_blowup = config.log_blowup
+    blowup = config.blowup
+    n_lde = n << log_blowup
+    shift = config.shift
+    if getattr(air, "eval_tensor", None):
+        nxt = jnp.roll(t_lde, -(1 << log_blowup), axis=0)
+        pre_nxt = (
+            jnp.roll(p_lde, -(1 << log_blowup), axis=0) if pre_width else p_lde
+        )
+        builder = TensorBuilder(
+            t_lde, nxt, p_lde, pre_nxt, publics_mont, tables, n_lde
+        )
+        air.eval_tensor(builder)
+    else:
+        cols = [t_lde[:, j] for j in range(width)]
+        nexts = [jnp.roll(c, -(1 << log_blowup)) for c in cols]
+        pre_cols = [p_lde[:, j] for j in range(pre_width)] if pre_width else []
+        pre_nexts = [jnp.roll(c, -(1 << log_blowup)) for c in pre_cols]
+        builder = ProverBuilder(
+            cols, nexts, publics_mont, tables, alpha_mont, n_lde, pre_cols, pre_nexts
+        )
+        air.eval(builder)
+    if counter is not None:
+        counter["constraints"] = builder.count
+    quotient = ext.mul_base(
+        builder.finalize(alpha_mont) if isinstance(builder, TensorBuilder) else builder.finalize(),
+        tables["zh_inv"],
+    )  # (n_lde, 4)
+    q_coeffs = _coset_evals_to_coeffs(quotient, shift)
+    chunks = [q_coeffs[k * n : (k + 1) * n] for k in range(blowup)]
+    chunk_evals = [_coeffs_to_coset_evals(c, log_blowup, shift) for c in chunks]
+    q_matrix = jnp.concatenate(chunk_evals, axis=1)  # (n_lde, 4·blowup)
+    q_col_coeffs = jnp.concatenate(chunks, axis=1)  # (n, 4·blowup)
+    return q_matrix, q_col_coeffs
+
+
+def openings_body(
+    air: Air, t_lde, p_lde, q_col_coeffs, zeta_mont, gzeta_mont, log_n: int, config: StarkConfig
+):
+    """DEEP openings of trace/quotient/preprocessed columns at ζ and g·ζ."""
+    n = 1 << log_n
+    width = air.width
+    pre_width = air.preprocessed_width
+    blowup = config.blowup
+    shift = config.shift
+    t_coeffs = _coset_evals_to_coeffs(t_lde, shift)[:n]
+    cols = [t_coeffs, q_col_coeffs]
+    if pre_width:
+        p_coeffs = _coset_evals_to_coeffs(p_lde, shift)[:n]
+        cols.append(p_coeffs)
+    all_coeffs = jnp.concatenate(cols, axis=1)  # (n, w + 4b [+ pw])
+    # p_j(pt) = Σ_i c_{i,j}·ptⁱ — one powers table per point, one fold
+    pow_z = _ext_power_table(zeta_mont, n)
+    pow_gz = _ext_power_table(gzeta_mont, n)
+    at_z = _fold_columns(all_coeffs.T, pow_z)  # (w_total, 4)
+    at_gz = _fold_columns(all_coeffs.T, pow_gz)
+    out = {
+        "t_zeta": at_z[:width],
+        "t_gzeta": at_gz[:width],
+        "q_zeta": at_z[width : width + 4 * blowup],
+    }
+    if pre_width:
+        out["p_zeta"] = at_z[width + 4 * blowup :]
+        out["p_gzeta"] = at_gz[width + 4 * blowup :]
+    return out
+
+
+def deep_body(
+    air, t_lde, p_lde, q_matrix, opened, zeta_mont, gzeta_mont, gamma_mont, tables, config
+):
+    """G = Σᵢ γⁱ(colᵢ − oᵢ)/(x − ptᵢ), grouped by opening point so each
+    group is one stacked fold: Σγⁱcolᵢ and Σγⁱoᵢ computed separately."""
+    width = air.width
+    pre_width = air.preprocessed_width
+    blowup = config.blowup
+    x_ext = ext.from_base(tables["x"])
+    inv_z = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_mont, x_ext.shape)))
+    inv_gz = ext.inv(ext.sub(x_ext, jnp.broadcast_to(gzeta_mont, x_ext.shape)))
+
+    # column enumeration (must match the verifier's γ-power order):
+    # p@ζ, p@gζ, t@ζ, t@gζ, q@ζ
+    z_cols, z_opened, gz_cols, gz_opened = [], [], [], []
+    for j in range(pre_width):
+        z_cols.append(p_lde[:, j])
+        z_opened.append(opened["p_zeta"][j])
+    for j in range(pre_width):
+        gz_cols.append(p_lde[:, j])
+        gz_opened.append(opened["p_gzeta"][j])
+    for j in range(width):
+        z_cols.append(t_lde[:, j])
+        z_opened.append(opened["t_zeta"][j])
+    for j in range(width):
+        gz_cols.append(t_lde[:, j])
+        gz_opened.append(opened["t_gzeta"][j])
+    for j in range(4 * blowup):
+        z_cols.append(q_matrix[:, j])
+        z_opened.append(opened["q_zeta"][j])
+
+    total = 2 * pre_width + 2 * width + 4 * blowup
+    gamma_pows = _ext_power_table(gamma_mont, total)
+    # γ exponents: the ζ group takes indices [0:pw) ∪ [2pw:2pw+w) ∪ tail,
+    # interleaved with the gζ group — build index lists statically.
+    z_idx = (
+        list(range(0, pre_width))
+        + list(range(2 * pre_width, 2 * pre_width + width))
+        + list(range(2 * pre_width + 2 * width, total))
+    )
+    gz_idx = list(range(pre_width, 2 * pre_width)) + list(
+        range(2 * pre_width + width, 2 * pre_width + 2 * width)
+    )
+
+    def group(cols, opened_vals, idx, inv_den):
+        coeffs = gamma_pows[jnp.asarray(idx, jnp.int32)]  # (m, 4)
+        stack = jnp.stack(cols, axis=1)  # (n_lde, m)
+        folded_cols = _fold_columns(stack, coeffs)  # (n_lde, 4)
+        o_stack = jnp.stack(opened_vals, axis=0)  # (m, 4) BB4
+        folded_o = _ext_dot(coeffs, o_stack)  # (4,)
+        num = ext.sub(folded_cols, jnp.broadcast_to(folded_o, folded_cols.shape))
+        return ext.mul(num, inv_den)
+
+    G = group(z_cols, z_opened, z_idx, inv_z)
+    if gz_idx:
+        G = ext.add(G, group(gz_cols, gz_opened, gz_idx, inv_gz))
+    return G
+
+
+# ---------------------------------------------------------------------------
 # Jitted phase functions, cached per (air, log_n, config)
 # ---------------------------------------------------------------------------
 
@@ -276,129 +428,30 @@ def _phases(air: Air, log_n: int, config: StarkConfig):
     if hit is not None:
         return hit
 
-    n = 1 << log_n
-    width = air.width
-    pre_width = air.preprocessed_width
-    shift = config.shift
-    log_blowup = config.log_blowup
-    n_lde = n << log_blowup
-    blowup = config.blowup
-    tables = _domain_tables(log_n, log_blowup, shift)
+    tables = _domain_tables(log_n, config.log_blowup, config.shift)
     counter = {}
 
     @jax.jit
     def lde_phase(mat_std):
-        """standard-form matrix → coset LDE (Montgomery)."""
-        return coset_lde(bb.to_mont(mat_std), log_blowup, shift, axis=0)
+        return lde_body(mat_std, config)
 
     @jax.jit
     def quotient_phase(t_lde, p_lde, alpha_mont, publics_mont):
-        if getattr(air, "eval_tensor", None):
-            nxt = jnp.roll(t_lde, -(1 << log_blowup), axis=0)
-            pre_nxt = (
-                jnp.roll(p_lde, -(1 << log_blowup), axis=0) if pre_width else p_lde
-            )
-            builder = TensorBuilder(
-                t_lde, nxt, p_lde, pre_nxt, publics_mont, tables, n_lde
-            )
-            air.eval_tensor(builder)
-        else:
-            cols = [t_lde[:, j] for j in range(width)]
-            nexts = [jnp.roll(c, -(1 << log_blowup)) for c in cols]
-            pre_cols = [p_lde[:, j] for j in range(pre_width)] if pre_width else []
-            pre_nexts = [jnp.roll(c, -(1 << log_blowup)) for c in pre_cols]
-            builder = ProverBuilder(
-                cols, nexts, publics_mont, tables, alpha_mont, n_lde, pre_cols, pre_nexts
-            )
-            air.eval(builder)
-        counter["constraints"] = builder.count
-        quotient = ext.mul_base(
-            builder.finalize(alpha_mont) if isinstance(builder, TensorBuilder) else builder.finalize(),
-            tables["zh_inv"],
-        )  # (n_lde, 4)
-        q_coeffs = _coset_evals_to_coeffs(quotient, shift)
-        chunks = [q_coeffs[k * n : (k + 1) * n] for k in range(blowup)]
-        chunk_evals = [_coeffs_to_coset_evals(c, log_blowup, shift) for c in chunks]
-        q_matrix = jnp.concatenate(chunk_evals, axis=1)  # (n_lde, 4·blowup)
-        q_col_coeffs = jnp.concatenate(chunks, axis=1)  # (n, 4·blowup)
-        return q_matrix, q_col_coeffs
+        return quotient_body(
+            air, t_lde, p_lde, alpha_mont, publics_mont, tables, log_n, config, counter
+        )
 
     @jax.jit
     def openings_phase(t_lde, p_lde, q_col_coeffs, zeta_mont, gzeta_mont):
-        t_coeffs = _coset_evals_to_coeffs(t_lde, shift)[:n]
-        cols = [t_coeffs, q_col_coeffs]
-        if pre_width:
-            p_coeffs = _coset_evals_to_coeffs(p_lde, shift)[:n]
-            cols.append(p_coeffs)
-        all_coeffs = jnp.concatenate(cols, axis=1)  # (n, w + 4b [+ pw])
-        # p_j(pt) = Σ_i c_{i,j}·ptⁱ — one powers table per point, one fold
-        pow_z = _ext_power_table(zeta_mont, n)
-        pow_gz = _ext_power_table(gzeta_mont, n)
-        at_z = _fold_columns(all_coeffs.T, pow_z)  # (w_total, 4)
-        at_gz = _fold_columns(all_coeffs.T, pow_gz)
-        out = {
-            "t_zeta": at_z[:width],
-            "t_gzeta": at_gz[:width],
-            "q_zeta": at_z[width : width + 4 * blowup],
-        }
-        if pre_width:
-            out["p_zeta"] = at_z[width + 4 * blowup :]
-            out["p_gzeta"] = at_gz[width + 4 * blowup :]
-        return out
+        return openings_body(
+            air, t_lde, p_lde, q_col_coeffs, zeta_mont, gzeta_mont, log_n, config
+        )
 
     @jax.jit
     def deep_phase(t_lde, p_lde, q_matrix, opened, zeta_mont, gzeta_mont, gamma_mont):
-        """G = Σᵢ γⁱ(colᵢ − oᵢ)/(x − ptᵢ), grouped by opening point so each
-        group is one stacked fold: Σγⁱcolᵢ and Σγⁱoᵢ computed separately."""
-        x_ext = ext.from_base(tables["x"])
-        inv_z = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_mont, x_ext.shape)))
-        inv_gz = ext.inv(ext.sub(x_ext, jnp.broadcast_to(gzeta_mont, x_ext.shape)))
-
-        # column enumeration (must match the verifier's γ-power order):
-        # p@ζ, p@gζ, t@ζ, t@gζ, q@ζ
-        z_cols, z_opened, gz_cols, gz_opened = [], [], [], []
-        for j in range(pre_width):
-            z_cols.append(p_lde[:, j])
-            z_opened.append(opened["p_zeta"][j])
-        for j in range(pre_width):
-            gz_cols.append(p_lde[:, j])
-            gz_opened.append(opened["p_gzeta"][j])
-        for j in range(width):
-            z_cols.append(t_lde[:, j])
-            z_opened.append(opened["t_zeta"][j])
-        for j in range(width):
-            gz_cols.append(t_lde[:, j])
-            gz_opened.append(opened["t_gzeta"][j])
-        for j in range(4 * blowup):
-            z_cols.append(q_matrix[:, j])
-            z_opened.append(opened["q_zeta"][j])
-
-        total = 2 * pre_width + 2 * width + 4 * blowup
-        gamma_pows = _ext_power_table(gamma_mont, total)
-        # γ exponents: the ζ group takes indices [0:pw) ∪ [2pw:2pw+w) ∪ tail,
-        # interleaved with the gζ group — build index lists statically.
-        z_idx = (
-            list(range(0, pre_width))
-            + list(range(2 * pre_width, 2 * pre_width + width))
-            + list(range(2 * pre_width + 2 * width, total))
+        return deep_body(
+            air, t_lde, p_lde, q_matrix, opened, zeta_mont, gzeta_mont, gamma_mont, tables, config
         )
-        gz_idx = list(range(pre_width, 2 * pre_width)) + list(
-            range(2 * pre_width + width, 2 * pre_width + 2 * width)
-        )
-
-        def group(cols, opened_vals, idx, inv_den):
-            coeffs = gamma_pows[jnp.asarray(idx, jnp.int32)]  # (m, 4)
-            stack = jnp.stack(cols, axis=1)  # (n_lde, m)
-            folded_cols = _fold_columns(stack, coeffs)  # (n_lde, 4)
-            o_stack = jnp.stack(opened_vals, axis=0)  # (m, 4) BB4
-            folded_o = _ext_dot(coeffs, o_stack)  # (4,)
-            num = ext.sub(folded_cols, jnp.broadcast_to(folded_o, folded_cols.shape))
-            return ext.mul(num, inv_den)
-
-        G = group(z_cols, z_opened, z_idx, inv_z)
-        if gz_idx:
-            G = ext.add(G, group(gz_cols, gz_opened, gz_idx, inv_gz))
-        return G
 
     fns = dict(
         lde=lde_phase,
@@ -556,14 +609,21 @@ _PRE_COMMIT_CACHE: dict = {}
 
 def preprocessed_commitment(air: Air, log_n: int, config: StarkConfig):
     """Verifying-key material: the Merkle root of the AIR's preprocessed
-    columns at the given size (deterministic; cached per AIR/size/config)."""
+    columns at the given size (deterministic; cached per AIR/size/config).
+
+    Computed entirely on the HOST (numpy NTT + native Poseidon2) so the
+    verifier never dispatches to an accelerator; bit-identical to the
+    prover's device commitment (tested)."""
     if not air.preprocessed_width:
         return None
     key = (air.cache_key(), log_n, config)
     hit = _PRE_COMMIT_CACHE.get(key)
     if hit is None:
+        from ..ntt.ntt import np_coset_lde
+        from ..pcs.merkle import host_merkle_root
+
         n = 1 << log_n
-        pre = np.asarray(air.preprocessed_trace(n), dtype=np.uint32)
-        p_lde = _phases(air, log_n, config)["lde"](jnp.asarray(pre))
-        hit = _PRE_COMMIT_CACHE[key] = [int(v) for v in MerkleTree(p_lde).root]
+        pre = np.asarray(air.preprocessed_trace(n), dtype=np.uint64)
+        p_lde = np_coset_lde(pre, config.log_blowup, config.shift)
+        hit = _PRE_COMMIT_CACHE[key] = host_merkle_root(p_lde)
     return hit

@@ -61,26 +61,65 @@ def _u32_limbs(v: int) -> tuple:
 
 
 class Sha256Air(Air):
-    """Proves SHA-256 of a pre-padded `num_blocks`-block message.
+    """Proves SHA-256 of one or more independently-padded messages in ONE
+    table — the TPU analogue of SP1's SHA chip accumulating every hash
+    invocation of a shard into a single AIR (SURVEY.md §2.2).
 
-    Public values: 32·num_blocks message limbs then 16 digest limbs
-    (a..h order, lo then hi — i.e. the digest words in register order)."""
+    Rows: for each message, 64 rows per block then one digest row; the state
+    resets to H0 at every message start (a preprocessed `sel_start` flag).
+    Public values per message: 32·blocks message limbs then 16 digest limbs
+    (a..h order, lo then hi), messages concatenated in order."""
 
     width = WIDTH
 
-    # preprocessed: sel_round, sel_boundary, sel_digest, k_lo, k_hi,
-    #               then (num_blocks - 1) window-feed selectors
-    _FIXED_PRE = 5
+    # preprocessed: sel_round, sel_boundary, sel_digest(any), k_lo, k_hi,
+    #               sel_start(any), then one window selector per global block
+    #               (on the block's first row) and one digest selector per
+    #               message (on its digest row)
+    _FIXED_PRE = 6
 
-    def __init__(self, num_blocks: int):
-        assert num_blocks >= 1
-        self.num_blocks = num_blocks
-        self.num_public_values = 32 * num_blocks + 16
-        self.preprocessed_width = self._FIXED_PRE + (num_blocks - 1)
+    def __init__(self, block_counts):
+        if isinstance(block_counts, int):
+            block_counts = (block_counts,)
+        block_counts = tuple(int(b) for b in block_counts)
+        assert block_counts and all(b >= 1 for b in block_counts)
+        self.block_counts = block_counts
+        self.total_blocks = sum(block_counts)
+        self.num_messages = len(block_counts)
+        self.num_public_values = 32 * self.total_blocks + 16 * self.num_messages
+        self.preprocessed_width = (
+            self._FIXED_PRE + self.total_blocks + self.num_messages
+        )
+
+    # back-compat alias (single-message call sites / proof containers)
+    @property
+    def num_blocks(self) -> int:
+        return self.total_blocks
+
+    def public_offset(self, m: int) -> int:
+        """Offset of message m's first public limb."""
+        return sum(32 * b + 16 for b in self.block_counts[:m])
+
+    def digest_offset(self, m: int) -> int:
+        return self.public_offset(m) + 32 * self.block_counts[m]
+
+    def _row_layout(self):
+        """Yield (message, block, start_row) for every global block, plus a
+        parallel list of per-message digest rows."""
+        blocks = []
+        digests = []
+        row = 0
+        for m, b_m in enumerate(self.block_counts):
+            for blk in range(b_m):
+                blocks.append((m, blk, row))
+                row += ROWS_PER_BLOCK
+            digests.append(row)
+            row += 1
+        return blocks, digests
 
     @property
     def min_rows(self) -> int:
-        return self.num_blocks * ROWS_PER_BLOCK + 1
+        return self.total_blocks * ROWS_PER_BLOCK + self.num_messages
 
     @property
     def log_rows(self) -> int:
@@ -91,159 +130,169 @@ class Sha256Air(Air):
     def preprocessed_trace(self, n: int):
         assert n >= self.min_rows
         pre = np.zeros((n, self.preprocessed_width), dtype=np.uint32)
-        for blk in range(self.num_blocks):
-            base = blk * ROWS_PER_BLOCK
+        blocks, digests = self._row_layout()
+        for gb, (m, blk, base) in enumerate(blocks):
             for t in range(ROWS_PER_BLOCK):
                 row = base + t
                 pre[row, 0 if t < 63 else 1] = 1  # sel_round / sel_boundary
                 pre[row, 3], pre[row, 4] = _u32_limbs(int(_K[t]))
-            if blk + 1 < self.num_blocks:
-                pre[base + 63, self._FIXED_PRE + blk] = 1  # feed next window
-        pre[self.num_blocks * ROWS_PER_BLOCK, 2] = 1  # digest row
+            pre[base, self._FIXED_PRE + gb] = 1  # window ← block words
+            if blk == 0:
+                pre[base, 5] = 1  # sel_start: state resets to H0
+        for m, drow in enumerate(digests):
+            pre[drow, 2] = 1  # sel_digest (shared)
+            pre[drow, self._FIXED_PRE + self.total_blocks + m] = 1
         return pre
 
     # -- trace ----------------------------------------------------------------
 
-    def generate_trace(self, padded: bytes):
-        """Trace + publics for a pre-padded message (len = 64·num_blocks)."""
-        assert len(padded) == 64 * self.num_blocks
+    def generate_trace(self, padded):
+        """Trace + publics.  ``padded``: one pre-padded message (bytes) or a
+        list of them, lengths 64·block_counts[m]."""
+        if isinstance(padded, (bytes, bytearray)):
+            padded = [bytes(padded)]
+        assert len(padded) == self.num_messages
+        for msg, b_m in zip(padded, self.block_counts):
+            assert len(msg) == 64 * b_m, "message padding does not match block count"
         n = 1 << self.log_rows
         tr = np.zeros((n, WIDTH), dtype=np.uint32)
         publics: list = []
 
-        state = [int(x) for x in _H0]
         M32 = 0xFFFFFFFF
         row = 0
-        for blk in range(self.num_blocks):
-            block = padded[64 * blk : 64 * blk + 64]
-            w = [int.from_bytes(block[4 * i : 4 * i + 4], "big") for i in range(16)]
-            for word in w:
-                publics.extend(_u32_limbs(word))
-            iv = list(state)
-            win = list(w)
-            for t in range(ROWS_PER_BLOCK):
-                a, b_, c, d, e, f, g, h = state
-                r = tr[row]
-                for i in range(32):
-                    r[A + i] = (a >> i) & 1
-                    r[B + i] = (b_ >> i) & 1
-                    r[C + i] = (c >> i) & 1
-                    r[E + i] = (e >> i) & 1
-                    r[F + i] = (f >> i) & 1
-                    r[G + i] = (g >> i) & 1
-                    r[W1B + i] = (win[1] >> i) & 1
-                    r[W14B + i] = (win[14] >> i) & 1
-                r[D_LO], r[D_HI] = _u32_limbs(d)
-                r[H_LO], r[H_HI] = _u32_limbs(h)
-                for ri, reg in enumerate(iv):
-                    r[IV + 2 * ri], r[IV + 2 * ri + 1] = _u32_limbs(reg)
-                for j in range(16):
-                    r[WIN + 2 * j], r[WIN + 2 * j + 1] = _u32_limbs(win[j])
+        for msg, b_m in zip(padded, self.block_counts):
+            state = [int(x) for x in _H0]
+            for blk in range(b_m):
+                block = msg[64 * blk : 64 * blk + 64]
+                w = [int.from_bytes(block[4 * i : 4 * i + 4], "big") for i in range(16)]
+                for word in w:
+                    publics.extend(_u32_limbs(word))
+                iv = list(state)
+                win = list(w)
+                for t in range(ROWS_PER_BLOCK):
+                    a, b_, c, d, e, f, g, h = state
+                    r = tr[row]
+                    for i in range(32):
+                        r[A + i] = (a >> i) & 1
+                        r[B + i] = (b_ >> i) & 1
+                        r[C + i] = (c >> i) & 1
+                        r[E + i] = (e >> i) & 1
+                        r[F + i] = (f >> i) & 1
+                        r[G + i] = (g >> i) & 1
+                        r[W1B + i] = (win[1] >> i) & 1
+                        r[W14B + i] = (win[14] >> i) & 1
+                    r[D_LO], r[D_HI] = _u32_limbs(d)
+                    r[H_LO], r[H_HI] = _u32_limbs(h)
+                    for ri, reg in enumerate(iv):
+                        r[IV + 2 * ri], r[IV + 2 * ri + 1] = _u32_limbs(reg)
+                    for j in range(16):
+                        r[WIN + 2 * j], r[WIN + 2 * j + 1] = _u32_limbs(win[j])
 
-                # round computation (integer mirror of the constraints)
-                rotr = lambda x, k: ((x >> k) | (x << (32 - k))) & M32
-                s1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
-                ch = (e & f) ^ (~e & g) & M32
-                t1 = h + s1 + ch + int(_K[t]) + win[0]
-                s0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
-                maj = (a & b_) ^ (a & c) ^ (b_ & c)
-                t2 = s0 + maj
-                boundary = t == 63
-                iv_e = iv[4] if boundary else 0
-                iv_a = iv[0] if boundary else 0
+                    # round computation (integer mirror of the constraints)
+                    rotr = lambda x, k: ((x >> k) | (x << (32 - k))) & M32
+                    s1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+                    ch = (e & f) ^ (~e & g) & M32
+                    t1 = h + s1 + ch + int(_K[t]) + win[0]
+                    s0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+                    maj = (a & b_) ^ (a & c) ^ (b_ & c)
+                    t2 = s0 + maj
+                    boundary = t == 63
+                    iv_e = iv[4] if boundary else 0
+                    iv_a = iv[0] if boundary else 0
 
-                # limb sums and carries exactly as the constraints see them
-                def limb_sums(parts_lo, parts_hi):
-                    lo = sum(parts_lo)
-                    c_lo = lo >> 16
-                    hi = sum(parts_hi) + c_lo
-                    c_hi = hi >> 16
-                    return lo & 0xFFFF, c_lo, hi & 0xFFFF, c_hi
+                    # limb sums and carries exactly as the constraints see them
+                    def limb_sums(parts_lo, parts_hi):
+                        lo = sum(parts_lo)
+                        c_lo = lo >> 16
+                        hi = sum(parts_hi) + c_lo
+                        c_hi = hi >> 16
+                        return lo & 0xFFFF, c_lo, hi & 0xFFFF, c_hi
 
-                s1ch_lo = sum((((s1 >> i) & 1) + ((ch >> i) & 1)) << i for i in range(16))
-                s1ch_hi = sum(
-                    (((s1 >> i) & 1) + ((ch >> i) & 1)) << (i - 16) for i in range(16, 32)
-                )
-                s0mj_lo = sum((((s0 >> i) & 1) + ((maj >> i) & 1)) << i for i in range(16))
-                s0mj_hi = sum(
-                    (((s0 >> i) & 1) + ((maj >> i) & 1)) << (i - 16) for i in range(16, 32)
-                )
-                k_lo, k_hi = _u32_limbs(int(_K[t]))
-                w_lo, w_hi = _u32_limbs(win[0])
-                h_lo, h_hi = _u32_limbs(h)
-                d_lo, d_hi = _u32_limbs(d)
-                ivE_lo, ivE_hi = _u32_limbs(iv_e)
-                ivA_lo, ivA_hi = _u32_limbs(iv_a)
-                _, ce_lo, _, ce_hi = limb_sums(
-                    [d_lo, h_lo, s1ch_lo, k_lo, w_lo, ivE_lo],
-                    [d_hi, h_hi, s1ch_hi, k_hi, w_hi, ivE_hi],
-                )
-                _, ca_lo, _, ca_hi = limb_sums(
-                    [h_lo, s1ch_lo, k_lo, w_lo, s0mj_lo, ivA_lo],
-                    [h_hi, s1ch_hi, k_hi, w_hi, s0mj_hi, ivA_hi],
-                )
-                for bit in range(3):
-                    r[CE + bit] = (ce_lo >> bit) & 1
-                    r[CE + 3 + bit] = (ce_hi >> bit) & 1
-                    r[CA + bit] = (ca_lo >> bit) & 1
-                    r[CA + 3 + bit] = (ca_hi >> bit) & 1
+                    s1ch_lo = sum((((s1 >> i) & 1) + ((ch >> i) & 1)) << i for i in range(16))
+                    s1ch_hi = sum(
+                        (((s1 >> i) & 1) + ((ch >> i) & 1)) << (i - 16) for i in range(16, 32)
+                    )
+                    s0mj_lo = sum((((s0 >> i) & 1) + ((maj >> i) & 1)) << i for i in range(16))
+                    s0mj_hi = sum(
+                        (((s0 >> i) & 1) + ((maj >> i) & 1)) << (i - 16) for i in range(16, 32)
+                    )
+                    k_lo, k_hi = _u32_limbs(int(_K[t]))
+                    w_lo, w_hi = _u32_limbs(win[0])
+                    h_lo, h_hi = _u32_limbs(h)
+                    d_lo, d_hi = _u32_limbs(d)
+                    ivE_lo, ivE_hi = _u32_limbs(iv_e)
+                    ivA_lo, ivA_hi = _u32_limbs(iv_a)
+                    _, ce_lo, _, ce_hi = limb_sums(
+                        [d_lo, h_lo, s1ch_lo, k_lo, w_lo, ivE_lo],
+                        [d_hi, h_hi, s1ch_hi, k_hi, w_hi, ivE_hi],
+                    )
+                    _, ca_lo, _, ca_hi = limb_sums(
+                        [h_lo, s1ch_lo, k_lo, w_lo, s0mj_lo, ivA_lo],
+                        [h_hi, s1ch_hi, k_hi, w_hi, s0mj_hi, ivA_hi],
+                    )
+                    for bit in range(3):
+                        r[CE + bit] = (ce_lo >> bit) & 1
+                        r[CE + 3 + bit] = (ce_hi >> bit) & 1
+                        r[CA + bit] = (ca_lo >> bit) & 1
+                        r[CA + 3 + bit] = (ca_hi >> bit) & 1
 
-                # schedule: w_new = σ1(w14) + w9 + σ0(w1) + w0
-                sig0 = rotr(win[1], 7) ^ rotr(win[1], 18) ^ (win[1] >> 3)
-                sig1 = rotr(win[14], 17) ^ rotr(win[14], 19) ^ (win[14] >> 10)
-                sg_lo = (win[0] & 0xFFFF) + (win[9] & 0xFFFF) + (sig0 & 0xFFFF) + (sig1 & 0xFFFF)
-                cw_lo = sg_lo >> 16
-                sg_hi = (win[0] >> 16) + (win[9] >> 16) + (sig0 >> 16) + (sig1 >> 16) + cw_lo
-                cw_hi = sg_hi >> 16
-                for bit in range(2):
-                    r[CW + bit] = (cw_lo >> bit) & 1
-                    r[CW + 2 + bit] = (cw_hi >> bit) & 1
-                w_new = (sig1 + win[9] + sig0 + win[0]) & M32
+                    # schedule: w_new = σ1(w14) + w9 + σ0(w1) + w0
+                    sig0 = rotr(win[1], 7) ^ rotr(win[1], 18) ^ (win[1] >> 3)
+                    sig1 = rotr(win[14], 17) ^ rotr(win[14], 19) ^ (win[14] >> 10)
+                    sg_lo = (win[0] & 0xFFFF) + (win[9] & 0xFFFF) + (sig0 & 0xFFFF) + (sig1 & 0xFFFF)
+                    cw_lo = sg_lo >> 16
+                    sg_hi = (win[0] >> 16) + (win[9] >> 16) + (sig0 >> 16) + (sig1 >> 16) + cw_lo
+                    cw_hi = sg_hi >> 16
+                    for bit in range(2):
+                        r[CW + bit] = (cw_lo >> bit) & 1
+                        r[CW + 2 + bit] = (cw_hi >> bit) & 1
+                    w_new = (sig1 + win[9] + sig0 + win[0]) & M32
 
-                new_e = (d + t1) & M32
-                new_a = (t1 + t2) & M32
-                if boundary:
-                    # Davies-Meyer feed-forward folded into the last round
-                    nxt = [
-                        (iv[0] + new_a) & M32,
-                        (iv[1] + a) & M32,
-                        (iv[2] + b_) & M32,
-                        (iv[3] + c) & M32,
-                        (iv[4] + new_e) & M32,
-                        (iv[5] + e) & M32,
-                        (iv[6] + f) & M32,
-                        (iv[7] + g) & M32,
-                    ]
-                    # carries of the copy additions (b,c,d,f,g,h)
-                    for ci, (ivv, sv) in enumerate(
-                        [(iv[1], a), (iv[2], b_), (iv[3], c), (iv[5], e), (iv[6], f), (iv[7], g)]
-                    ):
-                        lo = (ivv & 0xFFFF) + (sv & 0xFFFF)
-                        cf_lo = lo >> 16
-                        hi = (ivv >> 16) + (sv >> 16) + cf_lo
-                        r[CF + 2 * ci] = cf_lo
-                        r[CF + 2 * ci + 1] = hi >> 16
-                    state = nxt
-                else:
-                    state = [new_a, a, b_, c, new_e, e, f, g]
-                win = win[1:] + [w_new]
-                row += 1
-        # digest row: registers hold the final state; iv = digest
-        r = tr[row]
-        a, b_, c, d, e, f, g, h = state
-        for i in range(32):
-            r[A + i] = (a >> i) & 1
-            r[B + i] = (b_ >> i) & 1
-            r[C + i] = (c >> i) & 1
-            r[E + i] = (e >> i) & 1
-            r[F + i] = (f >> i) & 1
-            r[G + i] = (g >> i) & 1
-        r[D_LO], r[D_HI] = _u32_limbs(d)
-        r[H_LO], r[H_HI] = _u32_limbs(h)
-        for ri, reg in enumerate(state):
-            r[IV + 2 * ri], r[IV + 2 * ri + 1] = _u32_limbs(reg)
-        for reg in state:
-            publics.extend(_u32_limbs(reg))
+                    new_e = (d + t1) & M32
+                    new_a = (t1 + t2) & M32
+                    if boundary:
+                        # Davies-Meyer feed-forward folded into the last round
+                        nxt = [
+                            (iv[0] + new_a) & M32,
+                            (iv[1] + a) & M32,
+                            (iv[2] + b_) & M32,
+                            (iv[3] + c) & M32,
+                            (iv[4] + new_e) & M32,
+                            (iv[5] + e) & M32,
+                            (iv[6] + f) & M32,
+                            (iv[7] + g) & M32,
+                        ]
+                        # carries of the copy additions (b,c,d,f,g,h)
+                        for ci, (ivv, sv) in enumerate(
+                            [(iv[1], a), (iv[2], b_), (iv[3], c), (iv[5], e), (iv[6], f), (iv[7], g)]
+                        ):
+                            lo = (ivv & 0xFFFF) + (sv & 0xFFFF)
+                            cf_lo = lo >> 16
+                            hi = (ivv >> 16) + (sv >> 16) + cf_lo
+                            r[CF + 2 * ci] = cf_lo
+                            r[CF + 2 * ci + 1] = hi >> 16
+                        state = nxt
+                    else:
+                        state = [new_a, a, b_, c, new_e, e, f, g]
+                    win = win[1:] + [w_new]
+                    row += 1
+            # digest row: registers hold the final state; iv = digest
+            r = tr[row]
+            a, b_, c, d, e, f, g, h = state
+            for i in range(32):
+                r[A + i] = (a >> i) & 1
+                r[B + i] = (b_ >> i) & 1
+                r[C + i] = (c >> i) & 1
+                r[E + i] = (e >> i) & 1
+                r[F + i] = (f >> i) & 1
+                r[G + i] = (g >> i) & 1
+            r[D_LO], r[D_HI] = _u32_limbs(d)
+            r[H_LO], r[H_HI] = _u32_limbs(h)
+            for ri, reg in enumerate(state):
+                r[IV + 2 * ri], r[IV + 2 * ri + 1] = _u32_limbs(reg)
+            for reg in state:
+                publics.extend(_u32_limbs(reg))
+            row += 1
         return tr, publics
 
     # -- constraints -----------------------------------------------------------
@@ -462,15 +511,25 @@ class Sha256Air(Air):
             [b.local(WIN + 1), b.local(WIN + 19), wsum(sig0_bits, False), wsum(sig1_bits, False)],
         )
 
-        # 5. window feed at interior boundaries (next block's message words)
-        for blk in range(self.num_blocks - 1):
-            sel_feed = b.preprocessed(self._FIXED_PRE + blk)
-            for j in range(32):
-                b.assert_zero_transition(
-                    b.mul(sel_feed, b.sub(b.next(WIN + j), b.public(32 * (blk + 1) + j)))
-                )
+        # 5. window binding: on every block's first row the 16-word window
+        # equals that block's public message words — one mechanism for both
+        # message starts and interior block boundaries
+        gb = 0
+        for mi, b_m in enumerate(self.block_counts):
+            base_pub = self.public_offset(mi)
+            for blk in range(b_m):
+                sel_blk = b.preprocessed(self._FIXED_PRE + gb)
+                for j in range(32):
+                    b.assert_zero_all(
+                        b.mul(
+                            sel_blk,
+                            b.sub(b.local(WIN + j), b.public(base_pub + 32 * blk + j)),
+                        )
+                    )
+                gb += 1
 
-        # 6. first row: state = H0, iv = H0, window = block-0 message words
+        # 6. message-start rows: state = H0, iv = H0
+        sel_start = b.preprocessed(5)
         reg_limbs = [
             (a_lo, a_hi), (b_lo, b_hi), (c_lo, c_hi),
             (b.local(D_LO), b.local(D_HI)),
@@ -479,18 +538,17 @@ class Sha256Air(Air):
         ]
         for ri in range(8):
             lo_c, hi_c = _u32_limbs(int(_H0[ri]))
-            b.assert_eq_first(reg_limbs[ri][0], b.constant(lo_c))
-            b.assert_eq_first(reg_limbs[ri][1], b.constant(hi_c))
-            b.assert_eq_first(iv_l[2 * ri], b.constant(lo_c))
-            b.assert_eq_first(iv_l[2 * ri + 1], b.constant(hi_c))
-        for j in range(32):
-            b.assert_eq_first(b.local(WIN + j), b.public(j))
+            b.assert_zero_all(b.mul(sel_start, b.sub(reg_limbs[ri][0], b.constant(lo_c))))
+            b.assert_zero_all(b.mul(sel_start, b.sub(reg_limbs[ri][1], b.constant(hi_c))))
+            b.assert_zero_all(b.mul(sel_start, b.sub(iv_l[2 * ri], b.constant(lo_c))))
+            b.assert_zero_all(b.mul(sel_start, b.sub(iv_l[2 * ri + 1], b.constant(hi_c))))
 
-        # 7. digest row: iv limbs equal the public digest limbs
-        for j in range(16):
-            b.assert_zero_all(
-                b.mul(sel_digest, b.sub(iv_l[j], b.public(32 * self.num_blocks + j)))
-            )
+        # 7. digest rows: iv limbs equal the message's public digest limbs
+        for mi in range(self.num_messages):
+            sel_dig = b.preprocessed(self._FIXED_PRE + self.total_blocks + mi)
+            doff = self.digest_offset(mi)
+            for j in range(16):
+                b.assert_zero_all(b.mul(sel_dig, b.sub(iv_l[j], b.public(doff + j))))
 
     def eval_tensor(self, tb):
         """Tensor fast path for the prover: identical constraints to ``eval``
@@ -689,16 +747,19 @@ class Sha256Air(Air):
             [X[:, WIN + 1], X[:, WIN + 19], sg0_hi, sg1_hi],
         )
 
-        # 5. window feed at interior boundaries
-        for blk in range(self.num_blocks - 1):
-            sel_feed = PRE[:, self._FIXED_PRE + blk]
-            pubs = tb.publics[32 * (blk + 1) : 32 * (blk + 2)][None, :]
-            tb.assert_group(
-                m(m(sel_feed, trans)[:, None], sub(NXT[:, WIN : WIN + 32], pubs))
-            )
+        # 5. window binding: each block's first row vs its public words
+        gb = 0
+        for mi, b_m in enumerate(self.block_counts):
+            base_pub = self.public_offset(mi)
+            for blk in range(b_m):
+                sel_blk = PRE[:, self._FIXED_PRE + gb]
+                pubs = tb.publics[base_pub + 32 * blk : base_pub + 32 * blk + 32][None, :]
+                tb.assert_group(m(sel_blk[:, None], sub(X[:, WIN : WIN + 32], pubs)))
+                gb += 1
 
-        # 6. first row: state = H0, iv = H0 (4 constraints per register, in
-        # eval order: reg_lo, reg_hi, iv_lo, iv_hi), then the window words
+        # 6. message-start rows: state = H0, iv = H0 (4 constraints per
+        # register, in eval order: reg_lo, reg_hi, iv_lo, iv_hi)
+        sel_start = PRE[:, 5]
         reg_limbs = [
             (a_lo, a_hi), (b_lo, b_hi), (c_lo, c_hi),
             (X[:, D_LO], X[:, D_HI]),
@@ -709,7 +770,7 @@ class Sha256Air(Air):
             lo_c, hi_c = _u32_limbs(int(_H0[ri]))
             tb.assert_group(
                 m(
-                    first[:, None],
+                    sel_start[:, None],
                     jnp.stack(
                         [
                             sub(reg_limbs[ri][0], c(lo_c)),
@@ -721,17 +782,14 @@ class Sha256Air(Air):
                     ),
                 )
             )
-        tb.assert_group(
-            m(first[:, None], sub(X[:, WIN : WIN + 32], tb.publics[0:32][None, :]))
-        )
 
-        # 7. digest row
-        tb.assert_group(
-            m(
-                sel_digest[:, None],
-                sub(IV_T, tb.publics[32 * self.num_blocks : 32 * self.num_blocks + 16][None, :]),
+        # 7. digest rows, per message
+        for mi in range(self.num_messages):
+            sel_dig = PRE[:, self._FIXED_PRE + self.total_blocks + mi]
+            doff = self.digest_offset(mi)
+            tb.assert_group(
+                m(sel_dig[:, None], sub(IV_T, tb.publics[doff : doff + 16][None, :]))
             )
-        )
 
     # -- helpers ---------------------------------------------------------------
 
@@ -751,9 +809,10 @@ def pad_message(data: bytes) -> bytes:
     return data + b"\x80" + b"\x00" * (total - ln - 9) + (8 * ln).to_bytes(8, "big")
 
 
-def digest_from_publics(air: Sha256Air, publics) -> bytes:
-    """Recompose the 32-byte digest from the trailing 16 public limbs."""
-    limbs = [int(v) for v in publics[32 * air.num_blocks :]]
+def digest_from_publics(air: Sha256Air, publics, message: int = 0) -> bytes:
+    """Recompose a message's 32-byte digest from its 16 public limbs."""
+    off = air.digest_offset(message)
+    limbs = [int(v) for v in publics[off : off + 16]]
     out = b""
     for ri in range(8):
         word = limbs[2 * ri] | (limbs[2 * ri + 1] << 16)

@@ -198,72 +198,112 @@ def verify(
     if builder._acc != ext.s_mul(q_zeta, z_h):
         raise StarkError("constraint quotient identity failed at ζ")
 
-    # --- FRI + outer-opening binding --------------------------------------
+    # --- FRI + outer-opening binding (batched across queries) --------------
+    import numpy as np
+
+    from ..field import ext_np as enp
+    from ..pcs.fri import _as_field_array, _pow_mod_vec
+    from ..pcs.merkle import verify_openings_batch
+
     gzeta = ext.s_mul_base(zeta, g)
     w_lde = bb.two_adic_generator(log_n + log_blowup)
     half = n_lde // 2
+    nq = config.num_queries
+    total = 2 * pre_width + 2 * width + 4 * config.blowup
     gamma_pows = [ext.S_ONE]
-    for _ in range(2 * pre_width + 2 * width + 4 * config.blowup - 1):
+    for _ in range(total - 1):
         gamma_pows.append(ext.s_mul(gamma_pows[-1], gamma))
+    gp = np.asarray(gamma_pows, dtype=np.uint64)  # (total, 4)
+    P64 = np.uint64(bb.P)
 
-    query_iter = iter(query_openings)
+    if len(query_openings) != nq:
+        raise StarkError("wrong number of outer openings")
 
-    def derive_g(x_std: int, p_row, t_row, q_row):
-        x = ext.s_from_base(x_std)
-        inv_z = ext.s_inv(ext.s_sub(x, zeta))
-        inv_gz = ext.s_inv(ext.s_sub(x, gzeta))
-        acc = ext.S_ZERO
-        gi = 0
-        for j in range(pre_width):
-            num = ext.s_sub(ext.s_from_base(p_row[j]), opened_p_zeta[j])
-            acc = ext.s_add(acc, ext.s_mul(gamma_pows[gi], ext.s_mul(num, inv_z)))
-            gi += 1
-        for j in range(pre_width):
-            num = ext.s_sub(ext.s_from_base(p_row[j]), opened_p_gzeta[j])
-            acc = ext.s_add(acc, ext.s_mul(gamma_pows[gi], ext.s_mul(num, inv_gz)))
-            gi += 1
-        for j in range(width):
-            num = ext.s_sub(ext.s_from_base(t_row[j]), opened_t_zeta[j])
-            acc = ext.s_add(acc, ext.s_mul(gamma_pows[gi], ext.s_mul(num, inv_z)))
-            gi += 1
-        for j in range(width):
-            num = ext.s_sub(ext.s_from_base(t_row[j]), opened_t_gzeta[j])
-            acc = ext.s_add(acc, ext.s_mul(gamma_pows[gi], ext.s_mul(num, inv_gz)))
-            gi += 1
-        for j in range(4 * config.blowup):
-            num = ext.s_sub(ext.s_from_base(q_row[j]), opened_q_zeta[j])
-            acc = ext.s_add(acc, ext.s_mul(gamma_pows[gi], ext.s_mul(num, inv_z)))
-            gi += 1
-        return acc
+    # γ-power index groups (same enumeration as the prover's DEEP phase):
+    # p@ζ, p@gζ, t@ζ, t@gζ, q@ζ
+    z_idx = (
+        list(range(0, pre_width))
+        + list(range(2 * pre_width, 2 * pre_width + width))
+        + list(range(2 * pre_width + 2 * width, total))
+    )
+    gz_idx = list(range(pre_width, 2 * pre_width)) + list(
+        range(2 * pre_width + width, 2 * pre_width + 2 * width)
+    )
 
-    def open_input(leaf_index: int, values):
-        try:
-            rows = next(query_iter)
-        except StopIteration:
-            raise FriError("missing outer openings") from None
+    def fold_opened(idx_list, opened_list):
+        """Σ γ^i·oᵢ over BB4 opened values — query-independent, done once."""
+        acc = np.zeros(4, dtype=np.uint64)
+        o = np.asarray(opened_list, dtype=np.uint64).reshape(-1, 4)
+        prods = enp.mul(gp[idx_list], o)  # (m, 4)
+        return prods.sum(axis=0) % P64 if len(idx_list) else acc
+
+    opened_z = (
+        list(opened_p_zeta) + list(opened_t_zeta) + list(opened_q_zeta)
+    )
+    opened_gz = list(opened_p_gzeta) + list(opened_t_gzeta)
+    fold_o_z = fold_opened(z_idx, opened_z) if opened_z else np.zeros(4, np.uint64)
+    fold_o_gz = (
+        fold_opened(gz_idx, opened_gz) if opened_gz else np.zeros(4, np.uint64)
+    )
+    zeta_arr = np.asarray(zeta, dtype=np.uint64)
+    gzeta_arr = np.asarray(gzeta, dtype=np.uint64)
+
+    def fold_cols(rows_list, idx_list):
+        """Σ γ^i·colᵢ per query: rows (nq, m) base-field → (nq, 4)."""
+        rows = np.concatenate(rows_list, axis=1)  # (nq, m)
+        out = np.empty((nq, 4), dtype=np.uint64)
+        coeff = gp[idx_list]  # (m, 4)
+        for cdim in range(4):
+            prods = rows * coeff[None, :, cdim] % P64  # (nq, m)
+            out[:, cdim] = prods.sum(axis=1) % P64
+        return out
+
+    def open_input_batch(indices, v0s, v1s):
+        depth = (log_n + log_blowup).bit_length() - 1  # == log2(n_lde)
+        idx_lo = np.asarray(indices, dtype=np.int64)
+        idx_hi = idx_lo + half
         matrices = [("t", root_t, width), ("q", root_q, 4 * config.blowup)]
         if pre_width:
             matrices.insert(0, ("p", root_p, pre_width))
+        rows_of = {}
         for name, root, wid in matrices:
-            for part, idx in (("lo", leaf_index), ("hi", leaf_index + half)):
-                entry = rows[name][part]
-                row = [int(v) for v in entry["row"]]
-                if len(row) != wid:
-                    raise FriError("malformed outer opening row")
-                if not verify_opening(root, idx, row, entry["path"]):
+            for part, idxs in (("lo", idx_lo), ("hi", idx_hi)):
+                rows = _as_field_array(
+                    [qo[name][part]["row"] for qo in query_openings],
+                    (nq, wid),
+                    "malformed outer opening row",
+                )
+                paths = _as_field_array(
+                    [qo[name][part]["path"] for qo in query_openings],
+                    (nq, log_n + log_blowup, 8),
+                    "malformed outer opening path",
+                )
+                if not verify_openings_batch(root, idxs, rows, paths):
                     raise FriError(f"bad outer Merkle opening ({name}/{part})")
-        p_lo = [int(v) for v in rows["p"]["lo"]["row"]] if pre_width else []
-        p_hi = [int(v) for v in rows["p"]["hi"]["row"]] if pre_width else []
-        t_lo = [int(v) for v in rows["t"]["lo"]["row"]]
-        t_hi = [int(v) for v in rows["t"]["hi"]["row"]]
-        q_lo = [int(v) for v in rows["q"]["lo"]["row"]]
-        q_hi = [int(v) for v in rows["q"]["hi"]["row"]]
-        x_lo = shift * pow(w_lde, leaf_index, bb.P) % bb.P
-        x_hi = shift * pow(w_lde, leaf_index + half, bb.P) % bb.P
-        if derive_g(x_lo, p_lo, t_lo, q_lo) != values[0]:
-            raise FriError("DEEP codeword mismatch (lo)")
-        if derive_g(x_hi, p_hi, t_hi, q_hi) != values[1]:
-            raise FriError("DEEP codeword mismatch (hi)")
+                rows_of[(name, part)] = rows
+
+        empty = np.zeros((nq, 0), dtype=np.uint64)
+        for part, idxs, vals in (("lo", idx_lo, v0s), ("hi", idx_hi, v1s)):
+            p_rows = rows_of.get(("p", part), empty)
+            t_rows = rows_of[("t", part)]
+            q_rows = rows_of[("q", part)]
+            x = (
+                shift * _pow_mod_vec(w_lde, idxs.astype(np.uint64)) % P64
+            )  # (nq,)
+            x4 = enp.from_base(x)
+            inv_z = enp.inv(enp.sub(x4, zeta_arr[None, :]))
+            num_z = enp.sub(
+                fold_cols([p_rows, t_rows, q_rows], z_idx), fold_o_z[None, :]
+            )
+            G = enp.mul(num_z, inv_z)
+            if gz_idx:
+                inv_gz = enp.inv(enp.sub(x4, gzeta_arr[None, :]))
+                num_gz = enp.sub(
+                    fold_cols([p_rows, t_rows], gz_idx), fold_o_gz[None, :]
+                )
+                G = enp.add(G, enp.mul(num_gz, inv_gz))
+            if not np.array_equal(G, np.asarray(vals, dtype=np.uint64)):
+                raise FriError(f"DEEP codeword mismatch ({part})")
 
     try:
         fri_verify(
@@ -272,7 +312,7 @@ def verify(
             log_n + log_blowup,
             config.fri,
             challenger,
-            open_input,
+            open_input_batch,
         )
     except FriError as e:
         raise StarkError(f"FRI verification failed: {e}") from None

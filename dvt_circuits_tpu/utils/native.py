@@ -87,3 +87,41 @@ def s_permute_native(state):
     arr = np.array(state, dtype=np.uint32)
     lib.p2_permute_batch(arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), 1)
     return [int(x) for x in arr]
+
+
+def hash_rows_np(matrix):
+    """Sponge-hash each row of an (n, w) uint32 array → (n, 8); None if the
+    native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    import numpy as np
+
+    matrix = np.ascontiguousarray(matrix, dtype=np.uint32)
+    n, w = matrix.shape
+    out = np.empty((n, 8), dtype=np.uint32)
+    lib.p2_hash_rows(
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n,
+        w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
+
+
+def compress_np(pairs):
+    """Compress (n, 16) digest pairs → (n, 8); None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    import numpy as np
+
+    pairs = np.ascontiguousarray(pairs, dtype=np.uint32)
+    n = pairs.shape[0]
+    out = np.empty((n, 8), dtype=np.uint32)
+    lib.p2_compress(
+        pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out

@@ -99,11 +99,12 @@ class TestFri:
         cw_std = ext.from_array_mont(cw)
         n = len(cw_std)
 
-        def open_input(leaf_index, values):
-            assert values[0] == cw_std[leaf_index]
-            assert values[1] == cw_std[leaf_index + n // 2]
+        def open_input_batch(indices, v0s, v1s):
+            for i, v0, v1 in zip(indices, v0s, v1s):
+                assert tuple(int(x) for x in v0) == cw_std[int(i)]
+                assert tuple(int(x) for x in v1) == cw_std[int(i) + n // 2]
 
-        return open_input
+        return open_input_batch
 
     def test_roundtrip(self, setup):
         cw, proof = setup

@@ -79,13 +79,17 @@ class TestShaGadgets:
 
     def test_gadgets_present_and_bound(self, container):
         gadgets = container["gadgets"]
-        # bad-share (auth) computes the initial-commitment hash and the
-        # seed-exchange hash — both must be arithmetized
-        assert len(gadgets) >= 2
+        # v3: ONE multi-message SHA table; bad-share (auth) computes the
+        # initial-commitment hash and the seed-exchange hash — both must be
+        # arithmetized as messages of the table
+        assert len(gadgets) == 1
+        g = gadgets[0]
+        real = [o for o in g["stream_offsets"] if o is not None]
+        assert len(g["block_counts"]) >= 2
         assert container["gadgets_omitted"] == 0
-        assert any(g["stream_offset"] is not None for g in gadgets)
+        assert real
 
-    def test_gadget_digest_matches_recorded_hash(self, container, bad_share_data):
+    def test_gadget_digests_match_recorded_hashes(self, container, bad_share_data):
         import hashlib
 
         from dvt_circuits_tpu.stark.sha256_air import (
@@ -93,15 +97,17 @@ class TestShaGadgets:
             digest_from_publics,
         )
 
-        for g in container["gadgets"]:
-            air = Sha256Air(int(g["num_blocks"]))
-            publics = [int(v) for v in g["proof"]["public_values"]]
-            digest = digest_from_publics(air, publics)
+        g = container["gadgets"][0]
+        air = Sha256Air(tuple(int(b) for b in g["block_counts"]))
+        publics = [int(v) for v in g["proof"]["public_values"]]
+        for mi, blocks in enumerate(air.block_counts):
+            digest = digest_from_publics(air, publics, mi)
             # recompose the padded message from the public limbs and check
             # the digest is the true SHA-256 (soundness of generate_trace)
+            off = air.public_offset(mi)
             msg = b""
-            for j in range(16 * air.num_blocks):
-                word = publics[2 * j] | (publics[2 * j + 1] << 16)
+            for j in range(16 * blocks):
+                word = publics[off + 2 * j] | (publics[off + 2 * j + 1] << 16)
                 msg += word.to_bytes(4, "big")
             # strip FIPS padding: length in final 8 bytes
             bit_len = int.from_bytes(msg[-8:], "big")
@@ -120,22 +126,22 @@ class TestShaGadgets:
         import copy
 
         bad = copy.deepcopy(container)
-        bound = [g for g in bad["gadgets"] if g["stream_offset"] is not None]
-        assert bound
-        bound[0]["stream_offset"] = (bound[0]["stream_offset"] + 2) % 8
+        offs = bad["gadgets"][0]["stream_offsets"]
+        i = next(i for i, o in enumerate(offs) if o is not None)
+        offs[i] = (offs[i] + 2) % 8
         with pytest.raises(VerifyError):
             verify_proof(bad)
 
-    def test_dropped_gadget_breaks_transcript_order(self, container):
-        """Gadget proofs share one transcript: removing the first gadget
-        desynchronizes the challenges of the remaining ones."""
+    def test_stripped_gadget_table_rejected(self, container):
+        """The absorbed stream words commit to the gadget structure, so a
+        container with the SHA table removed must NOT verify."""
         import copy
 
         bad = copy.deepcopy(container)
-        if len(bad["gadgets"]) >= 2:
-            bad["gadgets"] = bad["gadgets"][1:]
-            with pytest.raises(VerifyError):
-                verify_proof(bad)
+        assert bad["gadgets"]
+        bad["gadgets"] = []
+        with pytest.raises(VerifyError):
+            verify_proof(bad)
 
     def test_recorder_captures_and_restores(self):
         import hashlib
