@@ -181,6 +181,7 @@ def run(setup, ctx: GuestContext, input_bytes: bytes, auth: bool) -> None:
         encrypted_bytes = bytes.fromhex(data.encrypted_message)
     except ValueError:
         raise GuestPanic("invalid hex in encrypted_message") from None
+    hash_recorder.record_chacha(key, nonce, 0, encrypted_bytes)
     decrypted = chacha20_xor(key, nonce, encrypted_bytes)
 
     try:

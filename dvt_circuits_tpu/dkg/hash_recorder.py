@@ -18,12 +18,21 @@ from contextlib import contextmanager
 from typing import List, Optional, Tuple
 
 _RECORDS: Optional[List[Tuple[bytes, bytes]]] = None
+_CHACHA: Optional[List[Tuple[bytes, bytes, int, bytes]]] = None
 
 
 def record(preimage: bytes, digest: bytes) -> None:
     """Called by the verification layer for every SHA-256 it computes."""
     if _RECORDS is not None:
         _RECORDS.append((bytes(preimage), bytes(digest)))
+
+
+def record_chacha(key: bytes, nonce: bytes, counter: int, data: bytes) -> None:
+    """Called by the encrypted-share witness for every ChaCha20 decrypt
+    (key, nonce, start counter, ciphertext) — the seam feeding the ChaCha20
+    gadget AIR (stark/chacha20_air.py), like ``record`` feeds the SHA table."""
+    if _CHACHA is not None:
+        _CHACHA.append((bytes(key), bytes(nonce), int(counter), bytes(data)))
 
 
 @contextmanager
@@ -40,3 +49,15 @@ def recording():
         yield _RECORDS
     finally:
         _RECORDS = prev
+
+
+@contextmanager
+def chacha_recording():
+    """Capture all ChaCha20 (key, nonce, counter, ciphertext) invocations."""
+    global _CHACHA
+    prev = _CHACHA
+    _CHACHA = [] if prev is None else prev
+    try:
+        yield _CHACHA
+    finally:
+        _CHACHA = prev

@@ -13,21 +13,30 @@ flow (src/main.rs:430-507):
     subcommand, which re-executes the circuit ELF — divergence documented in
     SURVEY.md §3.5): replays the transcript and FRI queries host-side.
 
-Proof semantics (v3, two tables): one shared Fiat–Shamir transcript chains
+Proof semantics (v4, up to three tables): one shared Fiat–Shamir transcript
+chains
 
   1. the Poseidon2 stream AIR binding the witness program's committed
-     public-value stream (circuit id, auth mode, stream → digest), and
+     public-value stream (circuit id, auth mode, stream → digest),
   2. ONE multi-message SHA-256 table proving every distinct SHA-256 the
      witness computed (commitment hashes, ECDH key derivation — recorded by
      ``dkg.hash_recorder``): digest = SHA-256(preimage) in constraints per
      message, with digests that appear in the committed stream bound to it
      by the verifier (offset check against the hex encoding the guests
-     commit).  Both tables prove in a single device dispatch
+     commit), and
+  3. for the encrypted-share circuit, ONE ChaCha20 table proving the
+     keystream blocks of every decrypt the witness performed
+     (stark/chacha20_air.py): the verifier binds each invocation's key to
+     the SHA table's ECDH-point digest (key = SHA-256(point), nonce =
+     key[:12], counters 0..n-1 — main.rs:16-30) and the ciphertext to the
+     committed stream, making `plaintext = ciphertext XOR keystream`
+     verifier-recomputable.  All tables prove in a single device dispatch
      (stark/fused.py).
 
-This is the staged arithmetization of the DKG checks (README roadmap):
-the hash chain no longer relies on witness re-execution.  Remaining trust
-gap (documented): curve relations (BLS/secp) are not yet in-circuit.
+This is the staged arithmetization of the DKG checks (README roadmap): the
+hash chain and the stream-cipher decrypt no longer rely on witness
+re-execution.  Remaining trust gap (documented): curve relations
+(BLS/secp) are not yet in-circuit.
 """
 
 from __future__ import annotations
@@ -38,7 +47,7 @@ from typing import Optional
 
 from ..circuits.guest_api import GuestResult, run_guest
 from ..circuits.registry import CIRCUITS, get_circuit
-from ..dkg.hash_recorder import recording
+from ..dkg.hash_recorder import chacha_recording, recording
 from ..pcs.challenger import DuplexChallenger
 from ..stark import prove as stark_prove
 from ..stark import verify as stark_verify
@@ -49,11 +58,19 @@ from ..stark.poseidon2_air import (
     hash_stream_words,
     stream_to_words,
 )
+from ..stark.chacha20_air import (
+    ChaCha20Air,
+    init_from_publics,
+    keystream_from_publics,
+)
 from ..stark.sha256_air import Sha256Air, digest_from_publics, pad_message
 from ..stark.verifier import StarkError
 from ..utils import cbor
 
-PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v3"
+PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v4"
+
+#: gadget kind ids as absorbed into the stream-AIR header (_stream_words)
+_GADGET_KIND_IDS = {"sha256": 1, "chacha20": 2}
 
 #: cap on per-proof SHA-256 gadget tables (committee hashes are O(n); the
 #: cap exists to bound proof size — the count omitted is recorded in the
@@ -81,27 +98,44 @@ def execute_circuit(
 
 
 def _stream_words(
-    circuit_name: str, auth: bool, setup: str, stream: bytes, gadgets: list
+    circuit_name: str,
+    auth: bool,
+    setup: str,
+    stream: bytes,
+    gadgets: list,
+    omitted: tuple = (0, 0),
 ) -> list:
     """Absorption stream: circuit-identity header + gadget-structure
     descriptor + byte stream as words.
 
-    The descriptor (gadget count, per-gadget message block counts and stream
-    offsets) is absorbed by the stream AIR so the gadget set is committed:
-    stripping or altering gadget tables desynchronizes the stream digest and
-    the proof fails — without this, a prover could drop the hash-relation
-    tables from a container and still verify."""
+    The descriptor (gadget count, per-gadget kind, message/invocation block
+    counts, stream offsets, and kind-specific extras) is absorbed by the
+    stream AIR so the gadget set is committed: stripping or altering gadget
+    tables desynchronizes the stream digest and the proof fails — without
+    this, a prover could drop the hash-relation tables from a container and
+    still verify."""
     header = [
         _CIRCUIT_IDS[circuit_name],
         int(auth),
         int(setup == "bls-commitment"),
         len(stream),
         len(gadgets),
+        # omitted-relation counters (SHA cap overflow, non-carriable chacha
+        # invocations) are absorbed so a container cannot understate them
+        int(omitted[0]),
+        int(omitted[1]),
     ]
     for g in gadgets:
         bcs = [int(b) for b in g["block_counts"]]
         offs = [0 if o is None else int(o) + 1 for o in g["stream_offsets"]]
-        header += [len(bcs)] + bcs + offs
+        extras = [int(x) for x in g.get("extras", [])]
+        header += (
+            [_GADGET_KIND_IDS[g["kind"]], len(bcs)]
+            + bcs
+            + offs
+            + [len(extras)]
+            + extras
+        )
     return header + stream_to_words(stream)
 
 
@@ -114,7 +148,7 @@ def prove_circuit(
 ) -> dict:
     """Execute the witness and produce the binding proof container."""
     t0 = time.time()
-    with recording() as recorded_hashes:
+    with recording() as recorded_hashes, chacha_recording() as recorded_chacha:
         result = execute_circuit(circuit_name, data, auth, setup)
     if result.exit_code != 0:
         raise ProveError(
@@ -137,11 +171,13 @@ def prove_circuit(
     # dummy messages to a power-of-two count to bound compile-cache keys.
     gadgets = []
     gadget_entry = None
+    sha_digests: list = []
     if sha_relations:
         padded_msgs = []
         offsets = []
         for preimage, digest in sha_relations:
             padded_msgs.append(pad_message(preimage))
+            sha_digests.append(digest)
             # guests commit digests as hex text; bind where the digest appears
             off = result.public_values.find(digest.hex().encode("ascii"))
             offsets.append(off if off >= 0 else None)
@@ -150,10 +186,14 @@ def prove_circuit(
         )
         padded_msgs = [padded_msgs[i] for i in order]
         offsets = [offsets[i] for i in order]
+        sha_digests = [sha_digests[i] for i in order]
         target = 1 << (len(padded_msgs) - 1).bit_length()
+        import hashlib as _hashlib
+
         while len(padded_msgs) < target:
             padded_msgs.append(pad_message(b""))
             offsets.append(None)
+            sha_digests.append(_hashlib.sha256(b"").digest())
         block_counts = tuple(len(p) // 64 for p in padded_msgs)
         gadgets.append(
             {
@@ -166,8 +206,69 @@ def prove_circuit(
         g_air = Sha256Air(block_counts)
         gadget_entry = (g_air, *g_air.generate_trace(padded_msgs))
 
+    # ChaCha20 decrypt table (encrypted-share circuit): one block row-group
+    # per 64-byte keystream block across all recorded invocations; the
+    # verifier re-derives key/nonce/counter semantics from the publics
+    chacha_entry = None
+    chacha_omitted = 0
+    if recorded_chacha:
+        seen_c: set = set()
+        invs = []
+        for rec in recorded_chacha:
+            if rec not in seen_c:
+                seen_c.add(rec)
+                invs.append(rec)
+        blocks: list = []
+        inv_bcs: list = []
+        inv_offs: list = []
+        inv_extras: list = []
+        for key, nonce, counter0, ct in invs:
+            nb = max(1, -(-len(ct) // 64))
+            # the verifier enforces the derivation convention; an invocation
+            # outside it (or whose key SHA was capped out of the table)
+            # cannot be carried and is counted as omitted
+            if (
+                not ct
+                or counter0 != 0
+                or nonce != key[:12]
+                or key not in sha_digests
+                or len(blocks) + nb > 64
+            ):
+                chacha_omitted += 1
+                continue
+            off = result.public_values.find(ct.hex().encode("ascii"))
+            if off < 0:
+                off = result.public_values.find(ct.hex().upper().encode("ascii"))
+            for j in range(nb):
+                blocks.append((key, j, nonce))
+            inv_bcs.append(nb)
+            inv_offs.append(off if off >= 0 else None)
+            inv_extras += [len(ct), sha_digests.index(key)]
+        if blocks:
+            target = 1 << (len(blocks) - 1).bit_length()
+            while len(blocks) < target:
+                blocks.append((b"\x00" * 32, 0, b"\x00" * 12))
+            gadgets.append(
+                {
+                    "kind": "chacha20",
+                    "block_counts": inv_bcs,
+                    "stream_offsets": inv_offs,
+                    "extras": [len(blocks)] + inv_extras,
+                    "proof": None,  # filled below
+                }
+            )
+            c_air = ChaCha20Air(len(blocks))
+            chacha_entry = (c_air, *c_air.generate_trace(blocks))
+
     # the absorbed words commit to the gadget structure (see _stream_words)
-    words = _stream_words(circuit_name, auth, setup, result.public_values, gadgets)
+    words = _stream_words(
+        circuit_name,
+        auth,
+        setup,
+        result.public_values,
+        gadgets,
+        (omitted, chacha_omitted),
+    )
     # pad the chunk count to a power of two: the trace height is padded to a
     # power of two anyway, and this collapses the compile-cache key variety
     num_chunks = max(1, -(-len(words) // 8))
@@ -183,6 +284,8 @@ def prove_circuit(
     entries = [(air, trace, publics)]
     if gadget_entry is not None:
         entries.append(gadget_entry)
+    if chacha_entry is not None:
+        entries.append(chacha_entry)
 
     if os.environ.get("DVT_FUSED", "1") != "0":
         proofs, _ = fused_prove_tables(entries, config)
@@ -193,8 +296,8 @@ def prove_circuit(
             for e_air, e_trace, e_publics in entries
         ]
     stark = proofs[0]
-    if gadgets:
-        gadgets[0]["proof"] = proofs[1]
+    for g, p in zip(gadgets, proofs[1:]):
+        g["proof"] = p
     prove_time = time.time() - t0
 
     return {
@@ -207,6 +310,7 @@ def prove_circuit(
         "stark": stark,
         "gadgets": gadgets,
         "gadgets_omitted": omitted,
+        "chacha_omitted": chacha_omitted,
         "config": {
             "log_blowup": config.log_blowup,
             "num_queries": config.num_queries,
@@ -255,7 +359,17 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     try:
         # the absorbed words commit to the gadget structure, so a stripped
         # or altered gadget set desynchronizes the stream digest below
-        words = _stream_words(name, auth, setup, stream, gadgets_list)
+        words = _stream_words(
+            name,
+            auth,
+            setup,
+            stream,
+            gadgets_list,
+            (
+                int(container.get("gadgets_omitted", 0)),
+                int(container.get("chacha_omitted", 0)),
+            ),
+        )
     except (KeyError, TypeError, ValueError) as e:
         raise VerifyError(f"malformed gadget descriptor: {e}") from None
     num_chunks = max(1, -(-len(words) // 8))
@@ -268,8 +382,15 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     challenger = DuplexChallenger()
     try:
         stark_verify(air, container["stark"], publics, config, challenger)
+        sha_ctx = None
         for entry in gadgets_list:
-            _verify_sha_gadget(entry, stream, config, challenger)
+            kind = entry.get("kind")
+            if kind == "sha256":
+                sha_ctx = _verify_sha_gadget(entry, stream, config, challenger)
+            elif kind == "chacha20":
+                _verify_chacha_gadget(entry, stream, sha_ctx, config, challenger)
+            else:
+                raise VerifyError(f"unknown gadget kind {kind!r}")
     except StarkError as e:
         raise VerifyError(f"STARK verification failed: {e}") from None
     except (KeyError, TypeError, ValueError) as e:
@@ -279,13 +400,14 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
 
 def _verify_sha_gadget(
     entry: dict, stream: bytes, config: StarkConfig, challenger: DuplexChallenger
-) -> None:
+):
     """Verify the multi-message SHA-256 table and its stream bindings.
 
     The table's public values (per-message message + digest limbs) come from
     the sub-proof itself; the AIR constraints tie each digest to its message,
     and the offset checks tie digests to the committed stream (guests commit
-    hashes as hex text — circuits/guest_api.py framing)."""
+    hashes as hex text — circuits/guest_api.py framing).  Returns
+    (air, publics) so later gadgets can bind to the table's digests."""
     if entry.get("kind") != "sha256":
         raise VerifyError(f"unknown gadget kind {entry.get('kind')!r}")
     block_counts = [int(v) for v in entry["block_counts"]]
@@ -308,6 +430,73 @@ def _verify_sha_gadget(
         digest_hex = digest_from_publics(g_air, g_publics, mi).hex().encode("ascii")
         if not 0 <= off <= len(stream) - 64 or stream[off : off + 64] != digest_hex:
             raise VerifyError("gadget digest not bound to the committed stream")
+    return g_air, g_publics
+
+
+def _verify_chacha_gadget(
+    entry: dict,
+    stream: bytes,
+    sha_ctx,
+    config: StarkConfig,
+    challenger: DuplexChallenger,
+) -> None:
+    """Verify the ChaCha20 keystream table and its bindings.
+
+    Per invocation: counters run 0..nb-1 with one key/nonce; the key is the
+    SHA table's digest of the compressed ECDH point and nonce = key[:12]
+    (the reference guest's derivation, main.rs:16-30); the ciphertext at
+    the descriptor's stream offset has the claimed length, so the verifier
+    can recompute plaintext = ciphertext XOR keystream."""
+    bcs = [int(v) for v in entry["block_counts"]]
+    offsets = entry.get("stream_offsets", [])
+    extras = [int(v) for v in entry.get("extras", [])]
+    if not 1 <= len(bcs) <= 16 or len(offsets) != len(bcs):
+        raise VerifyError("chacha invocation count out of range")
+    if any(not 1 <= b <= 16 for b in bcs):
+        raise VerifyError("chacha block count out of range")
+    if len(extras) != 1 + 2 * len(bcs):
+        raise VerifyError("chacha extras malformed")
+    total_blocks = extras[0]
+    if not sum(bcs) <= total_blocks <= 64:
+        raise VerifyError("chacha total block count out of range")
+    c_air = ChaCha20Air(total_blocks)
+    c_publics = [int(v) for v in entry["proof"]["public_values"]]
+    try:
+        c_air.check_publics(c_publics)
+    except ValueError as e:
+        raise VerifyError(f"chacha publics: {e}") from None
+    stark_verify(c_air, entry["proof"], c_publics, config, challenger)
+    gb = 0
+    for i, nb in enumerate(bcs):
+        ct_len, key_msg = extras[1 + 2 * i], extras[2 + 2 * i]
+        key0, ctr0, nonce0 = init_from_publics(c_publics, gb)
+        if ctr0 != 0 or nonce0 != key0[:12]:
+            raise VerifyError("chacha init violates the key-derivation convention")
+        for j in range(1, nb):
+            kj, cj, nj = init_from_publics(c_publics, gb + j)
+            if kj != key0 or nj != nonce0 or cj != j:
+                raise VerifyError("chacha keystream blocks are not consecutive")
+        if sha_ctx is None:
+            raise VerifyError("chacha gadget requires the SHA-256 table")
+        sha_air, sha_publics = sha_ctx
+        if not 0 <= key_msg < sha_air.num_messages:
+            raise VerifyError("chacha key message index out of range")
+        if digest_from_publics(sha_air, sha_publics, key_msg) != key0:
+            raise VerifyError("chacha key not bound to the ECDH digest")
+        if not 1 <= ct_len <= 64 * nb or -(-ct_len // 64) != nb:
+            raise VerifyError("chacha ciphertext length inconsistent with blocks")
+        off = offsets[i]
+        if off is not None:
+            off = int(off)
+            if not 0 <= off <= len(stream) - 2 * ct_len:
+                raise VerifyError("chacha ciphertext offset out of range")
+            try:
+                bytes.fromhex(stream[off : off + 2 * ct_len].decode("ascii"))
+            except (UnicodeDecodeError, ValueError):
+                raise VerifyError(
+                    "chacha ciphertext not bound to the committed stream"
+                ) from None
+        gb += nb
 
 
 def prove_batch(
