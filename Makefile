@@ -5,11 +5,13 @@ PY ?= python
 
 .PHONY: test test-fast heavy-test native gen-spec examples bench clean install-git-hooks
 
+# --dist loadfile: heavy module-scoped fixtures (proof containers) must not
+# be rebuilt once per worker
 test:
-	$(PY) -m pytest tests/ -q -n auto
+	$(PY) -m pytest tests/ -q -n auto --dist loadfile
 
 test-fast:
-	$(PY) -m pytest tests/ -q -n auto --ignore=tests/test_golden_vectors.py
+	$(PY) -m pytest tests/ -q -n auto --dist loadfile --ignore=tests/test_golden_vectors.py
 
 heavy-test:
 	DVT_HEAVY_TESTS=1 $(PY) -m pytest tests/test_curve.py -q

@@ -130,38 +130,117 @@ def main():
     except Exception as e:
         print(f"# bls bench skipped: {e}", file=sys.stderr)
 
-    # --- end-to-end proof latency (v3 two-table proof, single-dispatch) ----
+    # --- Keccak-256 permutation throughput ----------------------------------
     try:
+        from dvt_circuits_tpu.hash.keccak import keccak_f1600 as _kf
+
+        kb = 1 << 15
+        lo = jnp.asarray(rng.integers(0, 1 << 32, size=(kb, 25), dtype=np.uint32))
+        hi = jnp.asarray(rng.integers(0, 1 << 32, size=(kb, 25), dtype=np.uint32))
+        kfn = jax.jit(_kf)
+        t_k = _bench(kfn, lo, hi)
+        print(
+            f"# keccak-f1600: {kb/t_k:.3e} perm/s ({t_k*1e3:.2f} ms/batch)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# keccak bench skipped: {e}", file=sys.stderr)
+
+    # --- BLS12-381 MSM on-device (north-star kernel) ------------------------
+    try:
+        from dvt_circuits_tpu.curve import g1 as tg1
+        from dvt_circuits_tpu.hostcrypto import bls12_381 as bls
+
+        npts = 64
+        pts = [bls.g1_mul(bls.G1_GEN, 7 * i + 3) for i in range(npts)]
+        scs = [int(rng.integers(1, 1 << 62)) for _ in range(npts)]
+        p_dev = tg1.from_affine_points(pts)
+        d_dev = tg1.scalars_to_digits(scs)
+        t_m = _bench(lambda a, b: tg1._msm_jit(a, b), p_dev, d_dev, warmup=1, iters=3)
+        print(
+            f"# g1 msm ({npts} pts, 256-bit): {t_m*1e3:.0f} ms, "
+            f"{npts/t_m:.1f} scalar-muls/s equivalent",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# msm bench skipped: {e}", file=sys.stderr)
+
+    # --- end-to-end proofs: all four circuits (v5 multi-table, one dispatch;
+    # bad-share carries the in-circuit G1 curve-relation table) -------------
+    bench_t0 = time.perf_counter()
+    try:
+        import json as _json
+
         from dvt_circuits_tpu.circuits.registry import get_circuit
-        from dvt_circuits_tpu.prover.pipeline import prove_circuit, verify_proof
+        from dvt_circuits_tpu.prover.pipeline import (
+            prove_batch,
+            prove_circuit,
+            verify_proof,
+        )
         from dvt_circuits_tpu.stark.config import StarkConfig
         from dvt_circuits_tpu.utils import cbor
 
+        from dvt_circuits_tpu.dkg.scenario_gen import DkgCommittee
+
         cfg = StarkConfig(num_queries=40, proof_of_work_bits=12)
-        vec = json.load(
-            open(
-                "/root/reference/test_vectors/auth/share/"
-                "seeds-commitment-from-2-to-1-bad-base-hash.json"
+        # bad-share uses the generated poly-mismatch fault so the proof
+        # carries the in-circuit G1 curve table (the reference's own exit-0
+        # share vectors fault before the curve check); the rest are
+        # reference golden vectors
+        vecs = {
+            "bad-share": None,
+            "finalization": "auth/finalization/report-1.json",
+            "bad-partial-key": "auth/wrong_final_key_generation/badreport-1-gen-bad-partial-pubkey.json",
+            "bad-encrypted-share": "auth/bad_encrypted_share/seeds-commitment-from-1-to-2-bad-encrypted-msg.json",
+        }
+        first = None
+        for name, rel in vecs.items():
+            if time.perf_counter() - bench_t0 > 2400 and first is not None:
+                print(f"# {name} proof skipped (bench time budget)", file=sys.stderr)
+                continue
+            try:
+                spec = get_circuit(name)
+                if rel is None:
+                    data = DkgCommittee(3, 2).shared_data_bad_secret(0, 1, True)
+                else:
+                    vec = _json.load(open(f"/root/reference/test_vectors/{rel}"))
+                    data = spec.data_type.from_json(
+                        vec["scenario"], spec.setup.layout, True
+                    )
+                prove_circuit(name, data, True, cfg)  # warm the caches
+                t0 = time.perf_counter()
+                container = prove_circuit(name, data, True, cfg)
+                t_prove = time.perf_counter() - t0
+                verify_proof(container)  # warm
+                t0 = time.perf_counter()
+                verify_proof(container)
+                t_verify = time.perf_counter() - t0
+                gk = ",".join(g["kind"] for g in container["gadgets"]) or "-"
+                print(
+                    f"# dkg {name} proof: prove {t_prove*1e3:.0f} ms "
+                    f"(witness {container['timing']['witness_ms']} ms), "
+                    f"verify {t_verify*1e3:.0f} ms, "
+                    f"proof {len(cbor.encode(container))//1024} KiB, "
+                    f"tables [{gk}], "
+                    f"throughput {1.0/max(t_prove,1e-9):.2f} proofs/s/chip",
+                    file=sys.stderr,
+                )
+                if first is None:
+                    first = (name, data, spec)
+            except Exception as e:
+                print(f"# {name} proof bench skipped: {e}", file=sys.stderr)
+
+        # batched multi-proof throughput (BASELINE.json configs[4])
+        if first is not None and time.perf_counter() - bench_t0 < 2400:
+            name, data, spec = first
+            t0 = time.perf_counter()
+            batch = prove_batch(name, [data] * 4, True, cfg)
+            t_b = time.perf_counter() - t0
+            print(
+                f"# batched {name} ×{len(batch)}: {t_b*1e3:.0f} ms total, "
+                f"{len(batch)/t_b:.2f} proofs/s/chip sustained",
+                file=sys.stderr,
             )
-        )
-        spec = get_circuit("bad-share")
-        data = spec.data_type.from_json(vec["scenario"], spec.setup.layout, True)
-        prove_circuit("bad-share", data, True, cfg)  # warm the caches
-        t0 = time.perf_counter()
-        container = prove_circuit("bad-share", data, True, cfg)
-        t_prove = time.perf_counter() - t0
-        verify_proof(container)  # warm
-        t0 = time.perf_counter()
-        verify_proof(container)
-        t_verify = time.perf_counter() - t0
-        print(
-            f"# dkg bad-share proof: prove {t_prove*1e3:.0f} ms "
-            f"(witness {container['timing']['witness_ms']} ms), "
-            f"verify {t_verify*1e3:.0f} ms, "
-            f"proof {len(cbor.encode(container))//1024} KiB, "
-            f"throughput {1.0/max(t_prove,1e-9):.1f} proofs/s/chip",
-            file=sys.stderr,
-        )
     except Exception as e:  # bench must still emit its one line
         print(f"# proof bench skipped: {e}", file=sys.stderr)
 

@@ -19,6 +19,7 @@ from typing import List, Optional, Tuple
 
 _RECORDS: Optional[List[Tuple[bytes, bytes]]] = None
 _CHACHA: Optional[List[Tuple[bytes, bytes, int, bytes]]] = None
+_G1: Optional[List[dict]] = None
 
 
 def record(preimage: bytes, digest: bytes) -> None:
@@ -33,6 +34,35 @@ def record_chacha(key: bytes, nonce: bytes, counter: int, data: bytes) -> None:
     gadget AIR (stark/chacha20_air.py), like ``record`` feeds the SHA table."""
     if _CHACHA is not None:
         _CHACHA.append((bytes(key), bytes(nonce), int(counter), bytes(data)))
+
+
+def record_g1_poly_check(
+    secret: bytes, dest_id: int, points: List[Optional[Tuple[int, int]]]
+) -> None:
+    """Called by ``verify_seed_exchange_commitment`` for the Feldman share
+    check (verification.rs:107-118): pk(secret) ?= poly(dest_id) over the
+    verification vector.  Feeds the G1 program chip (stark/g1_air.py) —
+    the curve-relation analogue of ``record``/``record_chacha``."""
+    if _G1 is not None:
+        _G1.append(
+            {
+                "secret": bytes(secret),
+                "dest_id": int(dest_id),
+                "points": [None if p is None else (int(p[0]), int(p[1])) for p in points],
+            }
+        )
+
+
+@contextmanager
+def g1_recording():
+    """Capture G1 poly-check relations performed by the witness."""
+    global _G1
+    prev = _G1
+    _G1 = [] if prev is None else prev
+    try:
+        yield _G1
+    finally:
+        _G1 = prev
 
 
 @contextmanager

@@ -110,6 +110,13 @@ def verify_seed_exchange_commitment(
     # undecodable base pubkeys panic the guest (verification.rs:132-137 `expect`)
     cfst = [setup.Point.from_bytes(pk) for pk in initial_commitment.base_pubkeys]
 
+    # the curve relation the G1 program chip proves in-circuit (g1_air.py)
+    hash_recorder.record_g1_poly_check(
+        bytes(shared_secret.secret),
+        dest_index + 1,
+        [getattr(c, "point", None) for c in cfst],
+    )
+
     eval_result = evaluate_polynomial(cfst, dest_id, setup.Point)
     if bytes(sk.to_public_key().to_bytes()) != bytes(eval_result.to_bytes()):
         raise SlashableError(

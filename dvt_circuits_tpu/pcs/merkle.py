@@ -25,16 +25,34 @@ from ..hash.poseidon2 import DIGEST_WIDTH, RATE, WIDTH, poseidon2_permute, s_per
 from ..hash.poseidon2_pallas import BLOCK, permute_lanes
 
 
+#: unroll the leaf-sponge chunk loop only for narrow rows; wide matrices
+#: (the 26k-column G1 chip trace) use lax.scan so the traced graph stays
+#: O(1) in width instead of one inlined permutation per 8 columns
+_UNROLL_CHUNKS = 64
+
+
 def hash_rows(matrix):
     """Sponge-hash each row of a (n, w) Montgomery-form matrix → (n, 8)."""
     n, w = matrix.shape
+    pad = (-w) % RATE
+    if pad:
+        matrix = jnp.pad(matrix, ((0, 0), (0, pad)))
+    nchunks = matrix.shape[1] // RATE
     state = jnp.zeros((n, WIDTH), jnp.uint32)
-    for off in range(0, w, RATE):
-        chunk = matrix[:, off : off + RATE]
-        if chunk.shape[1] < RATE:
-            chunk = jnp.pad(chunk, ((0, 0), (0, RATE - chunk.shape[1])))
-        state = state.at[:, :RATE].set(chunk)
-        state = poseidon2_permute(state)
+    if nchunks <= _UNROLL_CHUNKS:
+        for off in range(0, matrix.shape[1], RATE):
+            chunk = matrix[:, off : off + RATE]
+            state = state.at[:, :RATE].set(chunk)
+            state = poseidon2_permute(state)
+        return state[:, :DIGEST_WIDTH]
+
+    chunks = matrix.reshape(n, nchunks, RATE).transpose(1, 0, 2)
+
+    def absorb(st, chunk):
+        st = st.at[:, :RATE].set(chunk)
+        return poseidon2_permute(st), None
+
+    state, _ = jax.lax.scan(absorb, state, chunks)
     return state[:, :DIGEST_WIDTH]
 
 
@@ -78,14 +96,31 @@ def _permute_t(state_t):
 def _hash_rows_t(matrix_t):
     """Sponge-hash columns of a (w, n) transposed matrix → (8, n)."""
     w, n = matrix_t.shape
+    pad = (-w) % RATE
+    if pad:
+        matrix_t = jnp.pad(matrix_t, ((0, pad), (0, 0)))
+    nchunks = matrix_t.shape[0] // RATE
     state = jnp.zeros((WIDTH, n), jnp.uint32)
-    for off in range(0, w, RATE):
-        chunk = matrix_t[off : off + RATE]
-        if chunk.shape[0] < RATE:
-            chunk = jnp.pad(chunk, ((0, RATE - chunk.shape[0]), (0, 0)))
-        state = jnp.concatenate([chunk, state[RATE:]], axis=0)
-        state = _permute_t(state)
-    return state[:DIGEST_WIDTH]
+    if nchunks <= _UNROLL_CHUNKS:
+        for off in range(0, matrix_t.shape[0], RATE):
+            chunk = matrix_t[off : off + RATE]
+            state = jnp.concatenate([chunk, state[RATE:]], axis=0)
+            state = _permute_t(state)
+        return state[:DIGEST_WIDTH]
+
+    # lane-pad once so the scanned permutation has a static shape
+    lane_pad = (-n) % BLOCK
+    if lane_pad:
+        matrix_t = jnp.pad(matrix_t, ((0, 0), (0, lane_pad)))
+        state = jnp.pad(state, ((0, 0), (0, lane_pad)))
+    chunks = matrix_t.reshape(nchunks, RATE, matrix_t.shape[1])
+
+    def absorb(st, chunk):
+        st = jnp.concatenate([chunk, st[RATE:]], axis=0)
+        return permute_lanes(st), None
+
+    state, _ = jax.lax.scan(absorb, state, chunks)
+    return state[:DIGEST_WIDTH, :n]
 
 
 def _compress_t(level_t):

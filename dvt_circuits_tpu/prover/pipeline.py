@@ -47,7 +47,8 @@ from typing import Optional
 
 from ..circuits.guest_api import GuestResult, run_guest
 from ..circuits.registry import CIRCUITS, get_circuit
-from ..dkg.hash_recorder import chacha_recording, recording
+from ..dkg.hash_recorder import chacha_recording, g1_recording, recording
+from ..hostcrypto import bls12_381 as _bls
 from ..pcs.challenger import DuplexChallenger
 from ..stark import prove as stark_prove
 from ..stark import verify as stark_verify
@@ -67,10 +68,16 @@ from ..stark.sha256_air import Sha256Air, digest_from_publics, pad_message
 from ..stark.verifier import StarkError
 from ..utils import cbor
 
-PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v4"
+PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v5"
 
 #: gadget kind ids as absorbed into the stream-AIR header (_stream_words)
-_GADGET_KIND_IDS = {"sha256": 1, "chacha20": 2}
+_GADGET_KIND_IDS = {"sha256": 1, "chacha20": 2, "g1": 3}
+
+#: production G1 chip scalar widths (the reference's 256-bit secrets and
+#: 32-bit ``bls_id_from_u32`` ids); pinned so a verifier reconstructs the
+#: exact AIR from the container
+_G1_SK_BITS, _G1_ID_BITS = 256, 32
+_G1_MAX_K = 32
 
 #: cap on per-proof SHA-256 gadget tables (committee hashes are O(n); the
 #: cap exists to bound proof size — the count omitted is recorded in the
@@ -103,7 +110,7 @@ def _stream_words(
     setup: str,
     stream: bytes,
     gadgets: list,
-    omitted: tuple = (0, 0),
+    omitted: tuple = (0, 0, 0),
 ) -> list:
     """Absorption stream: circuit-identity header + gadget-structure
     descriptor + byte stream as words.
@@ -121,9 +128,11 @@ def _stream_words(
         len(stream),
         len(gadgets),
         # omitted-relation counters (SHA cap overflow, non-carriable chacha
-        # invocations) are absorbed so a container cannot understate them
+        # invocations, non-carriable G1 relations) are absorbed so a
+        # container cannot understate them
         int(omitted[0]),
         int(omitted[1]),
+        int(omitted[2]) if len(omitted) > 2 else 0,
     ]
     for g in gadgets:
         bcs = [int(b) for b in g["block_counts"]]
@@ -148,7 +157,8 @@ def prove_circuit(
 ) -> dict:
     """Execute the witness and produce the binding proof container."""
     t0 = time.time()
-    with recording() as recorded_hashes, chacha_recording() as recorded_chacha:
+    with recording() as recorded_hashes, chacha_recording() as recorded_chacha, \
+            g1_recording() as recorded_g1:
         result = execute_circuit(circuit_name, data, auth, setup)
     if result.exit_code != 0:
         raise ProveError(
@@ -172,11 +182,13 @@ def prove_circuit(
     gadgets = []
     gadget_entry = None
     sha_digests: list = []
+    sha_originals: list = []
     if sha_relations:
         padded_msgs = []
         offsets = []
         for preimage, digest in sha_relations:
             padded_msgs.append(pad_message(preimage))
+            sha_originals.append(preimage)
             sha_digests.append(digest)
             # guests commit digests as hex text; bind where the digest appears
             off = result.public_values.find(digest.hex().encode("ascii"))
@@ -187,6 +199,7 @@ def prove_circuit(
         padded_msgs = [padded_msgs[i] for i in order]
         offsets = [offsets[i] for i in order]
         sha_digests = [sha_digests[i] for i in order]
+        sha_originals = [sha_originals[i] for i in order]
         target = 1 << (len(padded_msgs) - 1).bit_length()
         import hashlib as _hashlib
 
@@ -194,6 +207,7 @@ def prove_circuit(
             padded_msgs.append(pad_message(b""))
             offsets.append(None)
             sha_digests.append(_hashlib.sha256(b"").digest())
+            sha_originals.append(b"")
         block_counts = tuple(len(p) // 64 for p in padded_msgs)
         gadgets.append(
             {
@@ -205,6 +219,56 @@ def prove_circuit(
         )
         g_air = Sha256Air(block_counts)
         gadget_entry = (g_air, *g_air.generate_trace(padded_msgs))
+
+    # G1 curve-relation table (stark/g1_air.py): the Feldman share check
+    # pk(secret) ?= poly(id) proven in-circuit.  Relations the chip cannot
+    # carry (k < 2, identity coefficients, the documented x-collision
+    # pathology) are counted in the absorbed omitted counter, never dropped
+    # silently.
+    g1_entry = None
+    g1_omitted = 0
+    if recorded_g1 and os.environ.get("DVT_G1", "1") == "0":
+        # explicit opt-out (test/dev): relations are counted in the absorbed
+        # omitted counter, so the container never understates the skip
+        g1_omitted = len(recorded_g1)
+        recorded_g1 = []
+    if recorded_g1:
+        rels = recorded_g1[:1]
+        g1_omitted = len(recorded_g1) - 1
+        rel = rels[0]
+        pts = rel["points"]
+        kk = len(pts)
+        if not (2 <= kk <= _G1_MAX_K) or any(p is None for p in pts):
+            g1_omitted += 1
+        else:
+            try:
+                g1_air = _g1_air(kk)
+                g1_trace, g1_publics = g1_air.generate_trace(
+                    rel["secret"], rel["dest_id"], pts
+                )
+            except ValueError:
+                g1_omitted += 1
+            else:
+                seed_ref = init_ref = 0
+                for mi, orig in enumerate(sha_originals):
+                    if (
+                        len(orig) == 96
+                        and orig[32:64] == rel["secret"]
+                        and seed_ref == 0
+                    ):
+                        seed_ref = mi + 1
+                    if init_ref == 0 and _parse_init_commitment(orig, pts) is not None:
+                        init_ref = mi + 1
+                gadgets.append(
+                    {
+                        "kind": "g1",
+                        "block_counts": [kk],
+                        "stream_offsets": [None],
+                        "extras": [kk, _G1_SK_BITS, _G1_ID_BITS, seed_ref, init_ref],
+                        "proof": None,  # filled below
+                    }
+                )
+                g1_entry = (g1_air, g1_trace, g1_publics)
 
     # ChaCha20 decrypt table (encrypted-share circuit): one block row-group
     # per 64-byte keystream block across all recorded invocations; the
@@ -267,7 +331,7 @@ def prove_circuit(
         setup,
         result.public_values,
         gadgets,
-        (omitted, chacha_omitted),
+        (omitted, chacha_omitted, g1_omitted),
     )
     # pad the chunk count to a power of two: the trace height is padded to a
     # power of two anyway, and this collapses the compile-cache key variety
@@ -284,6 +348,8 @@ def prove_circuit(
     entries = [(air, trace, publics)]
     if gadget_entry is not None:
         entries.append(gadget_entry)
+    if g1_entry is not None:
+        entries.append(g1_entry)
     if chacha_entry is not None:
         entries.append(chacha_entry)
 
@@ -311,6 +377,7 @@ def prove_circuit(
         "gadgets": gadgets,
         "gadgets_omitted": omitted,
         "chacha_omitted": chacha_omitted,
+        "g1_omitted": g1_omitted,
         "config": {
             "log_blowup": config.log_blowup,
             "num_queries": config.num_queries,
@@ -368,6 +435,7 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
             (
                 int(container.get("gadgets_omitted", 0)),
                 int(container.get("chacha_omitted", 0)),
+                int(container.get("g1_omitted", 0)),
             ),
         )
     except (KeyError, TypeError, ValueError) as e:
@@ -387,6 +455,8 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
             kind = entry.get("kind")
             if kind == "sha256":
                 sha_ctx = _verify_sha_gadget(entry, stream, config, challenger)
+            elif kind == "g1":
+                _verify_g1_gadget(entry, stream, sha_ctx, config, challenger, auth, name)
             elif kind == "chacha20":
                 _verify_chacha_gadget(entry, stream, sha_ctx, config, challenger)
             else:
@@ -431,6 +501,166 @@ def _verify_sha_gadget(
         if not 0 <= off <= len(stream) - 64 or stream[off : off + 64] != digest_hex:
             raise VerifyError("gadget digest not bound to the committed stream")
     return g_air, g_publics
+
+
+def _g1_air(k: int):
+    from ..stark.g1_air import G1PolyAir
+
+    return G1PolyAir(k, sk_bits=_G1_SK_BITS, id_bits=_G1_ID_BITS)
+
+
+def _parse_init_commitment(msg: bytes, pts) -> Optional[list]:
+    """Parse an initial-commitment SHA preimage (verification.rs:151-175:
+    gen_id(16) ‖ n(1) ‖ k(1) ‖ len(1) ‖ len × compressed pubkeys) and return
+    the decompressed affine points iff they exactly match ``pts``."""
+    k = len(pts)
+    if len(msg) != 19 + 48 * k or msg[18] != k:
+        return None
+    out = []
+    for j in range(k):
+        try:
+            pt = _bls.g1_from_compressed(msg[19 + 48 * j : 19 + 48 * (j + 1)])
+        except _bls.InvalidPoint:
+            return None
+        if pt is None or (int(pt[0]), int(pt[1])) != (int(pts[j][0]), int(pts[j][1])):
+            return None
+        out.append(pt)
+    return out
+
+
+def _stream_frames(stream: bytes) -> list:
+    """Split a committed public-values stream into its length-prefixed
+    frames (guest_api.GuestContext.commit framing)."""
+    frames = []
+    off = 0
+    while off < len(stream):
+        if off + 8 > len(stream):
+            raise ValueError("truncated stream frame header")
+        ln = int.from_bytes(stream[off : off + 8], "little")
+        off += 8
+        if off + ln > len(stream):
+            raise ValueError("truncated stream frame")
+        frames.append(stream[off : off + ln])
+        off += ln
+    return frames
+
+
+def _verify_g1_gadget(
+    entry: dict,
+    stream: bytes,
+    sha_ctx,
+    config: StarkConfig,
+    challenger: DuplexChallenger,
+    auth: bool,
+    circuit_name: str,
+) -> None:
+    """Verify the G1 curve-relation table and its cross-table bindings.
+
+    The chip proves pk(sk) and poly(id) over the C_j exposed in its publics;
+    this function binds those publics to SHA-proven preimages and to the
+    committed stream:
+
+      * C_j ↔ the initial-commitment preimage's compressed pubkeys
+        (decompressed host-side — which also establishes curve/subgroup
+        membership of the chip's affine inputs);
+      * auth mode: sk bytes ↔ seed-exchange preimage[32:64]; the same
+        preimage's [0:32] must be the initial-commitment digest (hash
+        chaining) and its [64:96] (dst_base_hash) must select id =
+        sorted-index+1 among the stream's committed verification hashes
+        (verification.rs:50-66);
+      * the two results must differ — a bad-share/bad-encrypted proof
+        exists only for the slashable mismatch outcome.
+
+    no_auth divergence (documented in README): the secret and id have no
+    hash anchor in the reference's own data flow, so they stay bound only
+    at the witness level, as in proof v4.
+    """
+    extras = [int(v) for v in entry.get("extras", [])]
+    if len(extras) != 5:
+        raise VerifyError("g1 extras malformed")
+    k, sk_bits, id_bits, seed_ref, init_ref = extras
+    if sk_bits != _G1_SK_BITS or id_bits != _G1_ID_BITS:
+        raise VerifyError("g1 chip scalar widths not the production widths")
+    if not 2 <= k <= _G1_MAX_K:
+        raise VerifyError("g1 chip k out of range")
+    if [int(v) for v in entry.get("block_counts", [])] != [k]:
+        raise VerifyError("g1 descriptor inconsistent")
+    air = _g1_air(k)
+    publics = [int(v) for v in entry["proof"]["public_values"]]
+    try:
+        air.check_publics(publics)
+    except ValueError as e:
+        raise VerifyError(f"g1 publics: {e}") from None
+    stark_verify(air, entry["proof"], publics, config, challenger)
+
+    if sha_ctx is None:
+        raise VerifyError("g1 gadget requires the SHA-256 table")
+    sha_air, sha_publics = sha_ctx
+    from ..stark.sha256_air import digest_from_publics as _dig
+    from ..stark.sha256_air import message_from_publics as _msg
+    import hashlib as _hashlib
+
+    sk = bytes(publics[: air.sk_bytes])
+    id_int = int.from_bytes(bytes(publics[air.sk_bytes : air.c_base]), "big")
+    c_pts = []
+    for j in range(k):
+        base = air.c_base + 2 * 39 * j
+        from ..stark import bigfield as _bf
+
+        c_pts.append(
+            (
+                _bf.limbs_to_int(publics[base : base + 39]),
+                _bf.limbs_to_int(publics[base + 39 : base + 78]),
+            )
+        )
+
+    # C_j binding via the initial-commitment preimage
+    if not 1 <= init_ref <= sha_air.num_messages:
+        raise VerifyError("g1 gadget lacks an initial-commitment binding")
+    try:
+        init_msg = _msg(sha_air, sha_publics, init_ref - 1)
+    except ValueError as e:
+        raise VerifyError(f"g1 init preimage: {e}") from None
+    if _parse_init_commitment(init_msg, c_pts) is None:
+        raise VerifyError("g1 C_j not bound to the initial-commitment preimage")
+
+    if auth:
+        if not 1 <= seed_ref <= sha_air.num_messages:
+            raise VerifyError("g1 gadget lacks a seed-exchange binding (auth)")
+        try:
+            seed_msg = _msg(sha_air, sha_publics, seed_ref - 1)
+        except ValueError as e:
+            raise VerifyError(f"g1 seed preimage: {e}") from None
+        if len(seed_msg) != 96:
+            raise VerifyError("g1 seed preimage has the wrong shape")
+        if seed_msg[32:64] != sk:
+            raise VerifyError("g1 secret not bound to the seed-exchange preimage")
+        if _hashlib.sha256(init_msg).digest() != seed_msg[0:32]:
+            raise VerifyError("g1 hash chain broken (init digest vs seed preimage)")
+        # id = sorted-index+1 of dst_base_hash among the committed hashes
+        dst = seed_msg[64:96]
+        try:
+            frames = _stream_frames(stream)
+        except ValueError as e:
+            raise VerifyError(f"malformed stream: {e}") from None
+        hashes = []
+        for fr in frames[:-1]:  # last frame = perpetrator pubkey
+            try:
+                hashes.append(bytes.fromhex(fr.decode("ascii")))
+            except (UnicodeDecodeError, ValueError):
+                raise VerifyError("malformed verification-hash frame") from None
+        try:
+            idx = sorted(hashes).index(dst)
+        except ValueError:
+            raise VerifyError("dst_base_hash not among committed hashes") from None
+        if id_int != idx + 1:
+            raise VerifyError("g1 id not bound to the sorted-hash index")
+
+    out_a, out_b = air.out_points(publics)
+    if out_a == out_b:
+        raise VerifyError(
+            "g1 relation shows a VALID share — no slashable fault to prove"
+        )
 
 
 def _verify_chacha_gadget(

@@ -314,15 +314,22 @@ def _build_fused(air_list, log_ns, n_publics_list, config: StarkConfig):
             zeta_mont, jnp.asarray(np.uint32(bb.s_to_mont(g)))
         )
 
-        # 4. openings at ζ, g·ζ
+        # 4. openings at ζ, g·ζ — the transcript absorbs a batched Merkle
+        # digest of the opened values (see prover.opened_digest_std): a
+        # per-value absorb would trace one sequential permutation per 8
+        # words, which explodes for wide tables (the 26k-column G1 chip)
         opened = openings_body(
             air, t_lde, p_lde, q_col_coeffs, zeta_mont, gzeta_mont, log_n, config
         )
-        for name in ("p_zeta", "p_gzeta") if pre_width else ():
-            ch.observe_array(opened[name])
-        ch.observe_array(opened["t_zeta"])
-        ch.observe_array(opened["t_gzeta"])
-        ch.observe_array(opened["q_zeta"])
+        parts = (
+            [opened["p_zeta"], opened["p_gzeta"]] if pre_width else []
+        ) + [opened["t_zeta"], opened["t_gzeta"], opened["q_zeta"]]
+        omat = jnp.concatenate(parts, axis=0)
+        m_rows = omat.shape[0]
+        target = 1 << max(0, m_rows - 1).bit_length()
+        if target > m_rows:
+            omat = jnp.pad(omat, ((0, target - m_rows), (0, 0)))
+        ch.observe_array(_root_of(build_levels(omat)))
         gamma_mont = ch.sample_ext_mont()
         out["opened"] = {k: bb.from_mont(v) for k, v in opened.items()}
 
@@ -433,19 +440,56 @@ def _build_fused(air_list, log_ns, n_publics_list, config: StarkConfig):
     return jax.jit(fused), counters
 
 
+#: tables wider than this get their own fused dispatch: the transcript
+#: chains through the sponge state across dispatches (bit-identical proofs),
+#: while the wide table's graph compiles ONCE and is reused across every
+#: table combination that includes it (the 26k-column G1 chip would
+#: otherwise force a mega-graph recompile per circuit/auth variant)
+WIDE_TABLE_WIDTH = 4096
+
+
 def prove_tables(
     entries: Sequence[tuple],
     config: StarkConfig,
     state_mont=None,
 ):
-    """Prove a sequence of (air, trace, public_values) tables in ONE device
-    dispatch, chaining a single Fiat–Shamir transcript across them.
+    """Prove (air, trace, public_values) tables on one chained Fiat–Shamir
+    transcript, in as few device dispatches as compile-cache reuse allows
+    (one dispatch for all narrow tables; wide tables dispatch separately).
 
     Returns (proof_dicts, final_state_mont).  Each proof dict is in the
     exact format of ``stark.prover.prove`` and verifies with
     ``stark.verifier.verify`` (chained through a host ``DuplexChallenger``
     in the same table order).
     """
+    groups: list = []
+    cur: list = []
+    for e in entries:
+        if e[0].width > WIDE_TABLE_WIDTH:
+            if cur:
+                groups.append(cur)
+                cur = []
+            groups.append([e])
+        else:
+            cur.append(e)
+    if cur:
+        groups.append(cur)
+    if len(groups) <= 1:
+        return _prove_tables_group(entries, config, state_mont)
+    proofs: list = []
+    state = state_mont
+    for g in groups:
+        p, state = _prove_tables_group(g, config, state)
+        proofs += p
+    return proofs, state
+
+
+def _prove_tables_group(
+    entries: Sequence[tuple],
+    config: StarkConfig,
+    state_mont=None,
+):
+    """One fused dispatch for one group of tables (see ``prove_tables``)."""
     air_list = []
     log_ns = []
     n_publics_list = []
@@ -501,33 +545,32 @@ def prove_tables(
         if int(out["pow_check"]) != 0:
             raise AssertionError("on-device grind failed")  # pragma: no cover
         n_lde = (1 << log_n) << config.log_blowup
+        # bulk ndarray→list conversion (tolist is C-speed; per-int Python
+        # loops cost ~1s for the 26k-column G1 chip's 2M opened values)
+        fri_leaves = [np.asarray(a).tolist() for a in out["fri_leaves"]]
+        fri_paths = [np.asarray(a).tolist() for a in out["fri_paths"]]
         queries = []
         for qi in range(config.num_queries):
             rounds = []
             for r in range(len(out["fri_roots"])):
                 rounds.append(
-                    {
-                        "leaf": [int(v) for v in out["fri_leaves"][r][qi]],
-                        "path": [[int(v) for v in p] for p in out["fri_paths"][r][qi]],
-                    }
+                    {"leaf": fri_leaves[r][qi], "path": fri_paths[r][qi]}
                 )
             queries.append({"index": int(out["q_indices"][qi]), "rounds": rounds})
 
         openings = []
         names = (["p"] if air.preprocessed_width else []) + ["t", "q"]
+        outer_l = {
+            name: {k: np.asarray(v).tolist() for k, v in out["outer"][name].items()}
+            for name in names
+        }
         for qi in range(config.num_queries):
             rows = {}
             for name in names:
-                o = out["outer"][name]
+                o = outer_l[name]
                 rows[name] = {
-                    "lo": {
-                        "row": [int(v) for v in o["lo_row"][qi]],
-                        "path": [[int(v) for v in p] for p in o["lo_path"][qi]],
-                    },
-                    "hi": {
-                        "row": [int(v) for v in o["hi_row"][qi]],
-                        "path": [[int(v) for v in p] for p in o["hi_path"][qi]],
-                    },
+                    "lo": {"row": o["lo_row"][qi], "path": o["lo_path"][qi]},
+                    "hi": {"row": o["hi_row"][qi], "path": o["hi_path"][qi]},
                 }
             openings.append(rows)
 

@@ -359,8 +359,13 @@ def openings_body(
 def deep_body(
     air, t_lde, p_lde, q_matrix, opened, zeta_mont, gzeta_mont, gamma_mont, tables, config
 ):
-    """G = Σᵢ γⁱ(colᵢ − oᵢ)/(x − ptᵢ), grouped by opening point so each
-    group is one stacked fold: Σγⁱcolᵢ and Σγⁱoᵢ computed separately."""
+    """G = Σᵢ γⁱ(colᵢ − oᵢ)/(x − ptᵢ), grouped by opening point.
+
+    γ-power order (must match the verifier): p@ζ, p@gζ, t@ζ, t@gζ, q@ζ —
+    each segment is one contiguous MATRIX fold (Σγⁱcolᵢ via one stacked
+    modular matvec, Σγⁱoᵢ via one ext dot).  Folding whole matrices keeps
+    the traced graph O(#matrices), not O(#columns) — a per-column Python
+    enumeration made XLA compile time explode for the 26k-column G1 chip."""
     width = air.width
     pre_width = air.preprocessed_width
     blowup = config.blowup
@@ -368,56 +373,66 @@ def deep_body(
     inv_z = ext.inv(ext.sub(x_ext, jnp.broadcast_to(zeta_mont, x_ext.shape)))
     inv_gz = ext.inv(ext.sub(x_ext, jnp.broadcast_to(gzeta_mont, x_ext.shape)))
 
-    # column enumeration (must match the verifier's γ-power order):
-    # p@ζ, p@gζ, t@ζ, t@gζ, q@ζ
-    z_cols, z_opened, gz_cols, gz_opened = [], [], [], []
-    for j in range(pre_width):
-        z_cols.append(p_lde[:, j])
-        z_opened.append(opened["p_zeta"][j])
-    for j in range(pre_width):
-        gz_cols.append(p_lde[:, j])
-        gz_opened.append(opened["p_gzeta"][j])
-    for j in range(width):
-        z_cols.append(t_lde[:, j])
-        z_opened.append(opened["t_zeta"][j])
-    for j in range(width):
-        gz_cols.append(t_lde[:, j])
-        gz_opened.append(opened["t_gzeta"][j])
-    for j in range(4 * blowup):
-        z_cols.append(q_matrix[:, j])
-        z_opened.append(opened["q_zeta"][j])
-
     total = 2 * pre_width + 2 * width + 4 * blowup
     gamma_pows = _ext_power_table(gamma_mont, total)
-    # γ exponents: the ζ group takes indices [0:pw) ∪ [2pw:2pw+w) ∪ tail,
-    # interleaved with the gζ group — build index lists statically.
-    z_idx = (
-        list(range(0, pre_width))
-        + list(range(2 * pre_width, 2 * pre_width + width))
-        + list(range(2 * pre_width + 2 * width, total))
-    )
-    gz_idx = list(range(pre_width, 2 * pre_width)) + list(
-        range(2 * pre_width + width, 2 * pre_width + 2 * width)
-    )
 
-    def group(cols, opened_vals, idx, inv_den):
-        coeffs = gamma_pows[jnp.asarray(idx, jnp.int32)]  # (m, 4)
-        stack = jnp.stack(cols, axis=1)  # (n_lde, m)
-        folded_cols = _fold_columns(stack, coeffs)  # (n_lde, 4)
-        o_stack = jnp.stack(opened_vals, axis=0)  # (m, 4) BB4
-        folded_o = _ext_dot(coeffs, o_stack)  # (4,)
-        num = ext.sub(folded_cols, jnp.broadcast_to(folded_o, folded_cols.shape))
+    def to_arr(vals):
+        # opened values arrive as a (m, 4) device array (fused path) or a
+        # list of BB4 tuples (phase path)
+        if isinstance(vals, (list, tuple)):
+            import numpy as _np
+
+            return bb.to_mont(jnp.asarray(_np.array(vals, dtype=_np.uint32)))
+        return vals
+
+    def group(parts, inv_den):
+        """parts: (matrix, opened (m,4) mont, γ-power offset)."""
+        fc = None
+        fo = None
+        for mat, opened_arr, off in parts:
+            m = mat.shape[1]
+            coeffs = gamma_pows[off : off + m]
+            c_fold = _fold_columns(mat, coeffs)
+            o_fold = _ext_dot(coeffs, to_arr(opened_arr))
+            fc = c_fold if fc is None else ext.add(fc, c_fold)
+            fo = o_fold if fo is None else ext.add(fo, o_fold)
+        num = ext.sub(fc, jnp.broadcast_to(fo, fc.shape))
         return ext.mul(num, inv_den)
 
-    G = group(z_cols, z_opened, z_idx, inv_z)
-    if gz_idx:
-        G = ext.add(G, group(gz_cols, gz_opened, gz_idx, inv_gz))
-    return G
+    z_parts = []
+    gz_parts = []
+    if pre_width:
+        z_parts.append((p_lde, opened["p_zeta"], 0))
+        gz_parts.append((p_lde, opened["p_gzeta"], pre_width))
+    z_parts.append((t_lde, opened["t_zeta"], 2 * pre_width))
+    gz_parts.append((t_lde, opened["t_gzeta"], 2 * pre_width + width))
+    z_parts.append((q_matrix, opened["q_zeta"], 2 * pre_width + 2 * width))
+
+    return ext.add(group(z_parts, inv_z), group(gz_parts, inv_gz))
 
 
 # ---------------------------------------------------------------------------
 # Jitted phase functions, cached per (air, log_n, config)
 # ---------------------------------------------------------------------------
+
+def opened_digest_std(p_zeta, p_gzeta, t_zeta, t_gzeta, q_zeta) -> list:
+    """Merkle digest (8 words) of a table's opened values.
+
+    The transcript absorbs this digest instead of every opened value: for
+    wide tables (the 26k-column G1 chip) absorbing 200k+ words costs tens
+    of thousands of SEQUENTIAL sponge permutations — inside the fused
+    prover that is tens of thousands of traced ops.  A batched Merkle root
+    over the (m, 4) opened-value matrix is log-depth on device and one
+    native-batched host call for the verifier.  Row order: p@ζ, p@gζ,
+    t@ζ, t@gζ, q@ζ (the γ-power order), zero-padded to a power of two."""
+    from ..pcs.merkle import host_merkle_root
+
+    rows = [list(v) for group in (p_zeta, p_gzeta, t_zeta, t_gzeta, q_zeta) for v in group]
+    m = len(rows)
+    target = 1 << max(0, m - 1).bit_length()
+    rows += [[0, 0, 0, 0]] * (target - m)
+    return host_merkle_root(np.asarray(rows, dtype=np.uint32))
+
 
 _PHASE_CACHE: dict = {}
 
@@ -546,16 +561,11 @@ def prove(
         opened_p_zeta = []
         opened_p_gzeta = []
 
-    for v in opened_p_zeta:
-        challenger.observe_ext(v)
-    for v in opened_p_gzeta:
-        challenger.observe_ext(v)
-    for v in opened_t_zeta:
-        challenger.observe_ext(v)
-    for v in opened_t_gzeta:
-        challenger.observe_ext(v)
-    for v in opened_q_zeta:
-        challenger.observe_ext(v)
+    challenger.observe_many(
+        opened_digest_std(
+            opened_p_zeta, opened_p_gzeta, opened_t_zeta, opened_t_gzeta, opened_q_zeta
+        )
+    )
     gamma = challenger.sample_ext()
     gamma_mont = ext.to_array_mont([gamma])[0]
 

@@ -820,6 +820,35 @@ def digest_from_publics(air: Sha256Air, publics, message: int = 0) -> bytes:
     return out
 
 
+def padded_message_from_publics(air: Sha256Air, publics, message: int = 0) -> bytes:
+    """Recompose a message's padded block bytes from its public limbs."""
+    off = air.public_offset(message)
+    nb = air.block_counts[message]
+    limbs = [int(v) for v in publics[off : off + 32 * nb]]
+    out = b""
+    for wi in range(16 * nb):
+        word = limbs[2 * wi] | (limbs[2 * wi + 1] << 16)
+        out += word.to_bytes(4, "big")
+    return out
+
+
+def message_from_publics(air: Sha256Air, publics, message: int = 0) -> bytes:
+    """Recover the UNPADDED message a table entry hashed, validating the
+    FIPS 180-4 padding structure (0x80, zero fill, 64-bit bit length) —
+    an adversarial table with malformed padding is rejected rather than
+    silently reinterpreted.  Raises ValueError."""
+    padded = padded_message_from_publics(air, publics, message)
+    bitlen = int.from_bytes(padded[-8:], "big")
+    if bitlen % 8:
+        raise ValueError("message bit length not byte-aligned")
+    ln = bitlen // 8
+    if not 0 <= ln <= len(padded) - 9:
+        raise ValueError("message length inconsistent with block count")
+    if pad_message(padded[:ln]) != padded:
+        raise ValueError("malformed SHA-256 padding")
+    return padded[:ln]
+
+
 def message_publics(padded: bytes) -> list:
     """Message limbs exactly as ``generate_trace`` exposes them."""
     out = []

@@ -150,16 +150,13 @@ def verify(
     alpha = challenger.sample_ext()
     challenger.observe_many(root_q)
     zeta = challenger.sample_ext()
-    for v in opened_p_zeta:
-        challenger.observe_ext(v)
-    for v in opened_p_gzeta:
-        challenger.observe_ext(v)
-    for v in opened_t_zeta:
-        challenger.observe_ext(v)
-    for v in opened_t_gzeta:
-        challenger.observe_ext(v)
-    for v in opened_q_zeta:
-        challenger.observe_ext(v)
+    from .prover import opened_digest_std
+
+    challenger.observe_many(
+        opened_digest_std(
+            opened_p_zeta, opened_p_gzeta, opened_t_zeta, opened_t_gzeta, opened_q_zeta
+        )
+    )
     gamma = challenger.sample_ext()
 
     # --- DEEP-ALI identity at ζ -------------------------------------------

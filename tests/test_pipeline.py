@@ -31,6 +31,16 @@ def bad_share_data():
     return spec.data_type.from_json(_load(VEC), spec.setup.layout, True)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_g1_table():
+    # the production-width G1 curve table has its own integration suite
+    # (test_g1_pipeline.py); disabling it here keeps these container tests
+    # fast on CPU (the omitted relation is counted in the absorbed header)
+    os.environ["DVT_G1"] = "0"
+    yield
+    os.environ.pop("DVT_G1", None)
+
+
 @pytest.fixture(scope="module")
 def container(bad_share_data):
     return prove_circuit("bad-share", bad_share_data, True, TEST_CONFIG)
