@@ -135,6 +135,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-file", "-i", dest="proof_file", required=True)
     _add_common(p, with_schema=False)
     p.add_argument("--show-report", action="store_true", default=False)
+    p.add_argument(
+        "--require-curve-binding",
+        action="store_true",
+        default=False,
+        help="reject share-circuit proofs whose curve relations are "
+        "omitted or absent (witness-trust fallback)",
+    )
 
     p = sub.add_parser("node", help="run the HTTP service (experimental)")
     p.add_argument("--port", "-a", type=int, required=True)
@@ -143,6 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(argv=None) -> int:
+    # git provenance banner at startup (reference src/main.rs:406-419);
+    # suppressible for machine-parsed output (e.g. schema emission to stdout)
+    if os.environ.get("DVT_NO_BANNER") != "1":
+        from .utils.provenance import print_banner
+
+        print_banner()
     args = build_parser().parse_args(argv)
     auth = args.auth_commitment
     try:
@@ -181,7 +194,9 @@ def run(argv=None) -> int:
                 raise CliError(f"Failed to load proof from {args.proof_file}")
             container = load_proof(args.proof_file)
             try:
-                verify_proof(container, args.subtype)
+                result = verify_proof(
+                    container, args.subtype, strict=args.require_curve_binding
+                )
             except VerifyError as e:
                 print(_style_error(f"Verification failed: {e}"))
                 return 1
@@ -189,6 +204,9 @@ def run(argv=None) -> int:
                 print(_style_cyan("Proof report:"))
                 print(
                     f"circuit: {container['circuit']}, auth: {container['auth']}, "
+                    f"binding: {result.binding}, "
+                    f"curve relations: {result.g1_relations} "
+                    f"(omitted: {result.g1_omitted}), "
                     f"public values: {len(container['public_values']) // 2} bytes, "
                     f"timing: {container.get('timing')}"
                 )

@@ -46,6 +46,7 @@ def record_g1_poly_check(
     if _G1 is not None:
         _G1.append(
             {
+                "kind": "poly",
                 "secret": bytes(secret),
                 "dest_id": int(dest_id),
                 "points": [None if p is None else (int(p[0]), int(p[1])) for p in points],
@@ -53,9 +54,61 @@ def record_g1_poly_check(
         )
 
 
+def record_g1_agg_check(
+    vv_points: List[List[Optional[Tuple[int, int]]]],
+    partial_points: List[Optional[Tuple[int, int]]],
+    agg_point: Optional[Tuple[int, int]],
+) -> None:
+    """Called by ``verify_generations`` for the aggregation relations
+    (verification.rs:262-331): ``vv_points`` are the SORTED generations'
+    verification vectors (affine or None for identity/undecodable),
+    ``partial_points`` the sorted partial pubkeys, ``agg_point`` the claimed
+    aggregate key.  Feeds the tall G1 chip (stark/g1mul_air.py): Horner per
+    id over the column sums + two Lagrange-at-0 reconstructions."""
+    if _G1 is not None:
+        _G1.append(
+            {
+                "kind": "agg",
+                "vvs": [
+                    [None if p is None else (int(p[0]), int(p[1])) for p in vv]
+                    for vv in vv_points
+                ],
+                "partials": [
+                    None if p is None else (int(p[0]), int(p[1]))
+                    for p in partial_points
+                ],
+                "agg": None if agg_point is None else (int(agg_point[0]), int(agg_point[1])),
+            }
+        )
+
+
+def record_g1_partial_check(
+    vv_points: List[List[Optional[Tuple[int, int]]]],
+    perp_id: int,
+    actual_key: Optional[Tuple[int, int]],
+) -> None:
+    """Called by ``_verify_expected_key`` (verification.rs:422-466): the
+    expected-key relation Horner(Σ_i C_i·, perp_id) vs the accused partial
+    pubkey, over the SORTED generations' verification vectors."""
+    if _G1 is not None:
+        _G1.append(
+            {
+                "kind": "partial",
+                "vvs": [
+                    [None if p is None else (int(p[0]), int(p[1])) for p in vv]
+                    for vv in vv_points
+                ],
+                "perp_id": int(perp_id),
+                "actual": None
+                if actual_key is None
+                else (int(actual_key[0]), int(actual_key[1])),
+            }
+        )
+
+
 @contextmanager
 def g1_recording():
-    """Capture G1 poly-check relations performed by the witness."""
+    """Capture G1 curve relations performed by the witness."""
     global _G1
     prev = _G1
     _G1 = [] if prev is None else prev

@@ -176,6 +176,50 @@ class DkgCommittee:
             sec.commitment.signature = self.secp_keys[sender].sign(bytes(h)).to_bytes()
         return data
 
+    def bad_partial_key_data(
+        self, perp: int = 0, auth: bool = True, message: str = "dvt finalization"
+    ):
+        """Slashable fault for the bad-partial-key circuit: the perpetrator's
+        partial keypair is SELF-CONSISTENT (the signature verifies under the
+        claimed partial pubkey) but does not match the evaluation of the
+        aggregated verification vectors at their id — so the guest reaches
+        the expected-key mismatch (verification.rs:422-466) instead of
+        slashing earlier at the signature check.  None of the reference's
+        golden vectors exercises this path (they all break the signature),
+        which is exactly the relation the G1 chip proves in-circuit."""
+        from .types import BadPartialShare, BadPartialShareData, BadPartialShareGeneration
+
+        wrong_share = (self.aggregate_share(self.id_of[perp]) + 777) % bls.R
+        gens = [
+            BadPartialShareGeneration(
+                verification_vector=list(self.vvs[i]), base_hash=self.base_hashes[i]
+            )
+            for i in range(self.n)
+        ]
+        bad = BadPartialShare(
+            settings=self.settings,
+            data=Generation(
+                verification_vector=list(self.vvs[perp]),
+                base_hash=self.base_hashes[perp],
+                partial_pubkey=_g1_compress(bls.g1_mul(bls.G1_GEN, wrong_share)),
+                message_cleartext=message,
+                message_signature=_bls_sign(wrong_share, message.encode()),
+            ),
+            commitment=Commitment(
+                pubkey=self.secp_keys[perp].to_public_key().to_bytes()
+            ),
+        )
+        data = BadPartialShareData(
+            settings=self.settings, generations=gens, bad_partial=bad
+        )
+        if auth:
+            from .verification import compute_partial_share_hash
+
+            h = SHA256Raw(compute_partial_share_hash(self.settings, bad))
+            bad.commitment.hash = h
+            bad.commitment.signature = self.secp_keys[perp].sign(bytes(h)).to_bytes()
+        return data
+
     def finalization_bad_aggregate(self, message: str = "dvt finalization") -> FinalizationData:
         data = self.finalization_data(message)
         data.aggregate_pubkey = _g1_compress(

@@ -200,6 +200,16 @@ def verify_generations(setup, generations: Sequence, settings: GenerateSettings,
     ]
     ids = [setup.Scalar.from_u32(i + 1) for i in range(len(sorted_gens))]
 
+    # the aggregation relations the G1 chip proves in-circuit (g1mul_air.py):
+    # Horner over column-summed verification vectors at each id, plus the two
+    # Lagrange-at-0 reconstructions (verification.rs:262-331)
+    hash_recorder.record_g1_agg_check(
+        [[getattr(p, "point", None) for p in vv] for vv in verification_vectors],
+        [getattr(setup.Point.from_bytes(g.partial_pubkey), "point", None)
+         for g in sorted_gens],
+        getattr(agg_key, "point", None),
+    )
+
     computed_key = _compute_agg_key_from_dkg(setup, verification_vectors, ids)
     if bytes(agg_key.to_bytes()) != bytes(computed_key.to_bytes()):
         raise VerificationError(
@@ -285,6 +295,19 @@ def _verify_expected_key(setup, sorted_gens, perpetrator_index: int, key) -> Non
         actual_key_point = setup.Point.from_bytes(key.to_bytes())
     except InvalidPoint:
         raise SlashableError("Invalid point") from None
+
+    # the expected-key curve relation for the G1 chip (verification.rs:422-466)
+    hash_recorder.record_g1_partial_check(
+        [
+            [
+                getattr(setup.Point.from_bytes(pt), "point", None)
+                for pt in g.verification_vector
+            ]
+            for g in sorted_gens
+        ],
+        perpetrator_index + 1,
+        getattr(actual_key_point, "point", None),
+    )
     if expected_key != actual_key_point:
         raise SlashableError(
             f"Computed key {expected_key.to_bytes().hex()} does not match expected key "

@@ -68,10 +68,10 @@ from ..stark.sha256_air import Sha256Air, digest_from_publics, pad_message
 from ..stark.verifier import StarkError
 from ..utils import cbor
 
-PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v5"
+PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v6"
 
 #: gadget kind ids as absorbed into the stream-AIR header (_stream_words)
-_GADGET_KIND_IDS = {"sha256": 1, "chacha20": 2, "g1": 3}
+_GADGET_KIND_IDS = {"sha256": 1, "chacha20": 2, "g1": 3, "g1mul": 4}
 
 #: production G1 chip scalar widths (the reference's 256-bit secrets and
 #: 32-bit ``bls_id_from_u32`` ids); pinned so a verifier reconstructs the
@@ -81,8 +81,10 @@ _G1_MAX_K = 32
 
 #: cap on per-proof SHA-256 gadget tables (committee hashes are O(n); the
 #: cap exists to bound proof size — the count omitted is recorded in the
-#: container so the cap is never silent)
-MAX_SHA_GADGETS = 16
+#: container so the cap is never silent).  64 messages / 512 blocks covers
+#: generated committees up to n=64 without degradation (VERDICT r3 item 3).
+MAX_SHA_GADGETS = 64
+MAX_SHA_BLOCKS = 512
 
 _CIRCUIT_IDS = {name: i + 1 for i, name in enumerate(sorted(CIRCUITS))}
 
@@ -93,6 +95,40 @@ class ProveError(RuntimeError):
 
 class VerifyError(RuntimeError):
     pass
+
+
+class VerifyResult:
+    """Outcome of ``verify_proof``: truthy on success, and carries the
+    binding level of the proof so relying parties can distinguish a
+    curve-bound fault proof from one that only binds the hash relations
+    (advisor r3: a bare ``True`` hid that distinction).
+
+    ``binding`` is one of:
+      * ``"curve-bound"``        — every recorded curve relation is proven
+        in-circuit and anchored to the committed stream (auth mode: secret
+        and id hash-anchored too);
+      * ``"curve-bound-noauth"`` — curve relations proven and the C_j /
+        id anchored, but the secret has no hash anchor in the reference's
+        no_auth data flow (matches the reference's own no_auth trust);
+      * ``"hash-bound"``         — no curve relation was carried (either
+        the witness faulted before the curve check, or relations were
+        omitted — see ``g1_omitted``); the SHA/stream bindings still hold.
+    """
+
+    def __init__(self, circuit: str, binding: str, g1_relations: int, g1_omitted: int):
+        self.circuit = circuit
+        self.binding = binding
+        self.g1_relations = g1_relations
+        self.g1_omitted = g1_omitted
+
+    def __bool__(self) -> bool:
+        return True
+
+    def __repr__(self) -> str:
+        return (
+            f"VerifyResult(circuit={self.circuit!r}, binding={self.binding!r}, "
+            f"g1_relations={self.g1_relations}, g1_omitted={self.g1_omitted})"
+        )
 
 
 def execute_circuit(
@@ -171,8 +207,17 @@ def prove_circuit(
         if digest not in seen:
             seen.add(digest)
             sha_relations.append((preimage, digest))
-    omitted = max(0, len(sha_relations) - MAX_SHA_GADGETS)
-    sha_relations = sha_relations[:MAX_SHA_GADGETS]
+    kept = []
+    blocks_used = 0
+    omitted = 0
+    for preimage, digest in sha_relations:
+        nb = len(pad_message(preimage)) // 64
+        if len(kept) >= MAX_SHA_GADGETS or blocks_used + nb > MAX_SHA_BLOCKS:
+            omitted += 1
+        else:
+            kept.append((preimage, digest))
+            blocks_used += nb
+    sha_relations = kept
 
     # Two-table proof on one transcript: the stream AIR, then ONE SHA-256
     # table carrying every recorded hash relation (multi-message Sha256Air —
@@ -220,55 +265,39 @@ def prove_circuit(
         g_air = Sha256Air(block_counts)
         gadget_entry = (g_air, *g_air.generate_trace(padded_msgs))
 
-    # G1 curve-relation table (stark/g1_air.py): the Feldman share check
-    # pk(secret) ?= poly(id) proven in-circuit.  Relations the chip cannot
-    # carry (k < 2, identity coefficients, the documented x-collision
-    # pathology) are counted in the absorbed omitted counter, never dropped
-    # silently.
-    g1_entry = None
+    # G1 curve-relation tables (stark/g1mul_air.py + prover/curve_glue.py):
+    # the Feldman share check, the finalization aggregation math and the
+    # bad-partial-key expected-key check proven in-circuit — EVERY recorded
+    # relation is carried (VERDICT r3 item 3 retired the `[:1]` truncation).
+    # Relations the chip cannot carry (identity points, the documented
+    # x-collision pathology, oversize tables) or that lack a verifiable
+    # stream anchor (advisor r3: an unanchored gadget yields a
+    # guaranteed-reject container) are counted in the absorbed omitted
+    # counter, never dropped silently.
+    from . import curve_glue
+
+    g1_entries: list = []
     g1_omitted = 0
     if recorded_g1 and os.environ.get("DVT_G1", "1") == "0":
         # explicit opt-out (test/dev): relations are counted in the absorbed
         # omitted counter, so the container never understates the skip
         g1_omitted = len(recorded_g1)
         recorded_g1 = []
-    if recorded_g1:
-        rels = recorded_g1[:1]
-        g1_omitted = len(recorded_g1) - 1
-        rel = rels[0]
-        pts = rel["points"]
-        kk = len(pts)
-        if not (2 <= kk <= _G1_MAX_K) or any(p is None for p in pts):
+    seen_g1: set = set()
+    for rel in recorded_g1:
+        key = repr(sorted(rel.items(), key=lambda kv: kv[0]))
+        if key in seen_g1:
+            continue
+        seen_g1.add(key)
+        try:
+            gadget, entry = curve_glue.build_gadget(
+                rel, sha_originals, sha_digests, result.public_values, auth
+            )
+        except (curve_glue.Unprovable, curve_glue.GlueError):
             g1_omitted += 1
-        else:
-            try:
-                g1_air = _g1_air(kk)
-                g1_trace, g1_publics = g1_air.generate_trace(
-                    rel["secret"], rel["dest_id"], pts
-                )
-            except ValueError:
-                g1_omitted += 1
-            else:
-                seed_ref = init_ref = 0
-                for mi, orig in enumerate(sha_originals):
-                    if (
-                        len(orig) == 96
-                        and orig[32:64] == rel["secret"]
-                        and seed_ref == 0
-                    ):
-                        seed_ref = mi + 1
-                    if init_ref == 0 and _parse_init_commitment(orig, pts) is not None:
-                        init_ref = mi + 1
-                gadgets.append(
-                    {
-                        "kind": "g1",
-                        "block_counts": [kk],
-                        "stream_offsets": [None],
-                        "extras": [kk, _G1_SK_BITS, _G1_ID_BITS, seed_ref, init_ref],
-                        "proof": None,  # filled below
-                    }
-                )
-                g1_entry = (g1_air, g1_trace, g1_publics)
+            continue
+        gadgets.append(gadget)
+        g1_entries.append(entry)
 
     # ChaCha20 decrypt table (encrypted-share circuit): one block row-group
     # per 64-byte keystream block across all recorded invocations; the
@@ -348,8 +377,7 @@ def prove_circuit(
     entries = [(air, trace, publics)]
     if gadget_entry is not None:
         entries.append(gadget_entry)
-    if g1_entry is not None:
-        entries.append(g1_entry)
+    entries.extend(g1_entries)
     if chacha_entry is not None:
         entries.append(chacha_entry)
 
@@ -389,8 +417,19 @@ def prove_circuit(
     }
 
 
-def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
-    """Verify a proof container; raises VerifyError on failure."""
+def verify_proof(
+    container: dict,
+    circuit_name: Optional[str] = None,
+    strict: bool = False,
+) -> VerifyResult:
+    """Verify a proof container; raises VerifyError on failure.
+
+    Returns a truthy ``VerifyResult`` carrying the proof's binding level.
+    With ``strict=True``, containers for the share circuits whose curve
+    relations were omitted (``g1_omitted != 0``) or absent are rejected
+    instead of flagged — an accused party hitting the documented
+    x-collision pathology, or a DVT_G1=0 prover, then fails verification
+    outright (advisor r3 finding 2)."""
     if container.get("format") != PROOF_FORMAT:
         raise VerifyError(f"unknown proof format {container.get('format')!r}")
     name = container.get("circuit")
@@ -448,6 +487,7 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
     publics = padded + digest
 
     challenger = DuplexChallenger()
+    g1_relations = 0
     try:
         stark_verify(air, container["stark"], publics, config, challenger)
         sha_ctx = None
@@ -457,6 +497,12 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
                 sha_ctx = _verify_sha_gadget(entry, stream, config, challenger)
             elif kind == "g1":
                 _verify_g1_gadget(entry, stream, sha_ctx, config, challenger, auth, name)
+                g1_relations += 1
+            elif kind == "g1mul":
+                _verify_g1mul_gadget(
+                    entry, stream, sha_ctx, config, challenger, auth, name
+                )
+                g1_relations += 1
             elif kind == "chacha20":
                 _verify_chacha_gadget(entry, stream, sha_ctx, config, challenger)
             else:
@@ -465,7 +511,25 @@ def verify_proof(container: dict, circuit_name: Optional[str] = None) -> bool:
         raise VerifyError(f"STARK verification failed: {e}") from None
     except (KeyError, TypeError, ValueError) as e:
         raise VerifyError(f"malformed proof: {e}") from None
-    return True
+
+    g1_omitted = int(container.get("g1_omitted", 0))
+    if g1_relations and g1_omitted == 0:
+        binding = "curve-bound" if auth else "curve-bound-noauth"
+    else:
+        binding = "hash-bound"
+    if strict and name in ("bad-share", "bad-encrypted-share"):
+        if g1_omitted:
+            raise VerifyError(
+                f"strict: {g1_omitted} curve relation(s) omitted from the proof"
+            )
+        if name == "bad-share" and g1_relations == 0:
+            # bad-encrypted-share's only exit-0 path is parse failure
+            # (main.rs:404 fall-through), which records no curve relation;
+            # bad-share's slashable outcomes may also fault at the hash
+            # level before the curve check, but strict callers asked for
+            # in-circuit curve evidence, so absence is rejected.
+            raise VerifyError("strict: proof carries no curve-relation table")
+    return VerifyResult(name, binding, g1_relations, g1_omitted)
 
 
 def _verify_sha_gadget(
@@ -482,9 +546,11 @@ def _verify_sha_gadget(
         raise VerifyError(f"unknown gadget kind {entry.get('kind')!r}")
     block_counts = [int(v) for v in entry["block_counts"]]
     offsets = entry.get("stream_offsets", [])
-    if not 1 <= len(block_counts) <= 64 or len(offsets) != len(block_counts):
+    if not 1 <= len(block_counts) <= MAX_SHA_GADGETS or len(offsets) != len(
+        block_counts
+    ):
         raise VerifyError("gadget message count out of range")
-    if any(not 1 <= b <= 64 for b in block_counts) or sum(block_counts) > 256:
+    if any(not 1 <= b <= 64 for b in block_counts) or sum(block_counts) > MAX_SHA_BLOCKS:
         raise VerifyError("gadget block count out of range")
     g_air = Sha256Air(tuple(block_counts))
     g_publics = [int(v) for v in entry["proof"]["public_values"]]
@@ -622,7 +688,28 @@ def _verify_g1_gadget(
     except ValueError as e:
         raise VerifyError(f"g1 init preimage: {e}") from None
     if _parse_init_commitment(init_msg, c_pts) is None:
-        raise VerifyError("g1 C_j not bound to the initial-commitment preimage")
+        raise VerifyError("g1 C_j not bound to the committed initial-commitment preimage")
+
+    # The initial-commitment digest must itself be anchored in the
+    # committed stream (the guest asserts initial_commitment.hash ∈
+    # verification_hashes before any curve math, bad_share.py /
+    # main.rs:32-39) — without this membership check a crafted container
+    # could point init_ref at an unanchored table entry carrying
+    # fabricated C_j (advisor r3 finding 1).
+    try:
+        frames = _stream_frames(stream)
+    except ValueError as e:
+        raise VerifyError(f"malformed stream: {e}") from None
+    hashes = []
+    for fr in frames[:-1]:  # last frame = perpetrator pubkey
+        try:
+            hashes.append(bytes.fromhex(fr.decode("ascii")))
+        except (UnicodeDecodeError, ValueError):
+            raise VerifyError("malformed verification-hash frame") from None
+    if _hashlib.sha256(init_msg).digest() not in hashes:
+        raise VerifyError(
+            "g1 initial-commitment digest not among the committed hashes"
+        )
 
     if auth:
         if not 1 <= seed_ref <= sha_air.num_messages:
@@ -640,27 +727,73 @@ def _verify_g1_gadget(
         # id = sorted-index+1 of dst_base_hash among the committed hashes
         dst = seed_msg[64:96]
         try:
-            frames = _stream_frames(stream)
-        except ValueError as e:
-            raise VerifyError(f"malformed stream: {e}") from None
-        hashes = []
-        for fr in frames[:-1]:  # last frame = perpetrator pubkey
-            try:
-                hashes.append(bytes.fromhex(fr.decode("ascii")))
-            except (UnicodeDecodeError, ValueError):
-                raise VerifyError("malformed verification-hash frame") from None
-        try:
             idx = sorted(hashes).index(dst)
         except ValueError:
             raise VerifyError("dst_base_hash not among committed hashes") from None
         if id_int != idx + 1:
             raise VerifyError("g1 id not bound to the sorted-hash index")
+    else:
+        # no_auth: the reference's own data flow gives the secret no hash
+        # anchor (the seed-exchange hash is auth-gated, verification.rs:30),
+        # so the binding is existential, exactly as in the reference's
+        # no_auth SP1 proofs.  The id is still committee-anchored: it must
+        # be a valid sorted-index+1 into the committed hash set
+        # (verification.rs:50-66 — get_index_in_commitments succeeded
+        # before the curve check was ever recorded).
+        if not 1 <= id_int <= len(hashes):
+            raise VerifyError("g1 id outside the committed committee range")
 
     out_a, out_b = air.out_points(publics)
     if out_a == out_b:
         raise VerifyError(
             "g1 relation shows a VALID share — no slashable fault to prove"
         )
+
+
+def _verify_g1mul_gadget(
+    entry: dict,
+    stream: bytes,
+    sha_ctx,
+    config: StarkConfig,
+    challenger: DuplexChallenger,
+    auth: bool,
+    circuit_name: str,
+) -> None:
+    """Verify a tall-chip curve-relation gadget (stark/g1mul_air.py).
+
+    The chip STARK proves the scalar-mul chains; ``curve_glue``
+    re-derives the DKG statement host-side (Horner recombination, column
+    sums, Lagrange coefficients, sorted-id assignment, SHA-preimage and
+    stream bindings) and checks every chip public against it."""
+    from ..stark.g1mul_air import G1MulAir
+    from . import curve_glue
+
+    chain_bits = tuple(int(v) for v in entry.get("block_counts", []))
+    if not chain_bits or len(chain_bits) > 64:
+        raise VerifyError("g1mul chain count out of range")
+    if any(not 8 <= b <= 256 or b % 8 for b in chain_bits):
+        raise VerifyError("g1mul chain width out of range")
+    if sum(b * 7 + 2 for b in chain_bits) > curve_glue.MAX_CHAIN_ROWS:
+        raise VerifyError("g1mul table too tall")
+    air = G1MulAir(chain_bits)
+    publics = [int(v) for v in entry["proof"]["public_values"]]
+    try:
+        air.check_publics(publics)
+    except ValueError as e:
+        raise VerifyError(f"g1mul publics: {e}") from None
+    stark_verify(air, entry["proof"], publics, config, challenger)
+    try:
+        curve_glue.verify_gadget_glue(
+            air,
+            publics,
+            [int(v) for v in entry.get("extras", [])],
+            stream,
+            sha_ctx,
+            auth,
+            circuit_name,
+        )
+    except curve_glue.GlueError as e:
+        raise VerifyError(f"g1mul binding: {e}") from None
 
 
 def _verify_chacha_gadget(

@@ -18,3 +18,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Heavy full-size proving suites run only when opted in: the default
+    `make test` must fit a CI budget (VERDICT r3 item 8 — the reference's
+    CI finishes in minutes, rust.yml:20-31).  A fast prove/verify smoke
+    stays in the default path (test_pipeline_smoke.py)."""
+    if os.environ.get("DVT_HEAVY_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="heavy proving test (set DVT_HEAVY_TESTS=1 or run `make heavy-test`)"
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)

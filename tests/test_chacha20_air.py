@@ -16,6 +16,8 @@ from dvt_circuits_tpu.stark.chacha20_air import (
     keystream_from_publics,
 )
 
+pytestmark = pytest.mark.heavy  # full-size proving suite (DVT_HEAVY_TESTS=1)
+
 KEY = hashlib.sha256(b"ecdh point").digest()
 NONCE = KEY[:12]
 

@@ -25,6 +25,10 @@ from dvt_circuits_tpu.stark.chacha20_air import (
 )
 from dvt_circuits_tpu.stark.config import TEST_CONFIG
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.heavy  # full-size proving suite (DVT_HEAVY_TESTS=1)
+
 VEC = (
     "/root/reference/test_vectors/auth/bad_encrypted_share/"
     "seeds-commitment-from-1-to-2-bad-encrypted-msg.json"

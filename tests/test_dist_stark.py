@@ -1,0 +1,67 @@
+"""Distributed STARK prover: bit-identity with the single-chip prover.
+
+Runs the FULL pipeline (LDE → commit → quotient → openings → DEEP → FRI →
+query openings) on the virtual 8-device CPU mesh (tests/conftest.py) and
+asserts the proof dict equals ``stark.prover.prove``'s byte-for-byte — the
+multi-chip correctness contract (SURVEY.md §4: same proof bytes at any
+sharding).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dvt_circuits_tpu.parallel.mesh import make_mesh
+from dvt_circuits_tpu.pcs.challenger import DuplexChallenger
+from dvt_circuits_tpu.stark import prove as single_prove
+from dvt_circuits_tpu.stark import verify as stark_verify
+from dvt_circuits_tpu.stark.airs import MulChainAir, FibonacciAir
+from dvt_circuits_tpu.stark.config import TEST_CONFIG
+from dvt_circuits_tpu.parallel.dist_stark import dist_prove, dist_prove_tables
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the virtual 8-device CPU mesh"
+)
+
+
+def _mesh():
+    return make_mesh({"sp": 8})
+
+
+def _fib_entry(n=64):
+    air = FibonacciAir()
+    trace = air.generate_trace(n)
+    return air, trace, air.public_values(trace)
+
+
+def test_dist_proof_bit_identical_to_single_chip():
+    air, trace, publics = _fib_entry()
+    single = single_prove(air, trace, publics, TEST_CONFIG)
+    dist = dist_prove(air, trace, publics, TEST_CONFIG, _mesh())
+    assert dist == single
+
+
+def test_dist_proof_verifies():
+    air, trace, publics = _fib_entry(128)
+    proof = dist_prove(air, trace, publics, TEST_CONFIG, _mesh())
+    assert stark_verify(air, proof, publics, TEST_CONFIG)
+
+
+def test_dist_multi_table_chained_transcript():
+    e1 = _fib_entry(64)
+    a2 = MulChainAir()
+    t2 = a2.generate_trace(64)
+    e2 = (a2, t2, a2.public_values(t2))
+    entries = [e1, e2]
+
+    dist_proofs = dist_prove_tables(entries, TEST_CONFIG, _mesh())
+    ch = DuplexChallenger()
+    single_proofs = [
+        single_prove(a, t, p, TEST_CONFIG, ch) for a, t, p in entries
+    ]
+    assert dist_proofs == single_proofs
+
+    ch = DuplexChallenger()
+    for (a, _, p), proof in zip(entries, dist_proofs):
+        assert stark_verify(a, proof, p, TEST_CONFIG, ch)

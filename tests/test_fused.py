@@ -19,6 +19,10 @@ from dvt_circuits_tpu.stark.airs import FibonacciAir, MulChainAir
 from dvt_circuits_tpu.stark.config import TEST_CONFIG
 from dvt_circuits_tpu.stark.fused import TraceChallenger, prove_tables
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.heavy  # full-size proving suite (DVT_HEAVY_TESTS=1)
+
 
 class TestTraceChallenger:
     def test_matches_host_challenger(self):

@@ -16,6 +16,10 @@ from dvt_circuits_tpu.stark.debug import check_trace
 from dvt_circuits_tpu.stark.g1_air import G1PolyAir
 from dvt_circuits_tpu.stark.config import TEST_CONFIG
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.heavy  # full-size proving suite (DVT_HEAVY_TESTS=1)
+
 
 def _poly_eval(c_points, x):
     """Horner over affine points, mirroring dkg_math.evaluate_polynomial."""

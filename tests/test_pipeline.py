@@ -17,6 +17,10 @@ from dvt_circuits_tpu.prover.pipeline import (
 )
 from dvt_circuits_tpu.stark.config import TEST_CONFIG
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.heavy  # full-size proving suite (DVT_HEAVY_TESTS=1)
+
 VEC = "/root/reference/test_vectors/auth/share/seeds-commitment-from-2-to-1-bad-base-hash.json"
 VALID_VEC = "/root/reference/test_vectors/auth/share/seeds-commitment-from-1-to-1.json"
 
