@@ -22,9 +22,15 @@ from contextlib import contextmanager
 
 import numpy as np
 
+import os
+
 _T_START = time.perf_counter()
-#: overall soft budget: proof sections check this before starting
-TOTAL_BUDGET_S = 1500.0
+#: overall soft budget: proof sections check this before starting.
+#: Overridable for cache-warming runs (scripts/warm_caches.sh): the first
+#: prove of each table-shape combination triggers a multi-minute XLA
+#:  compile that lands in the persistent AOT/compile caches.
+TOTAL_BUDGET_S = float(os.environ.get("DVT_BENCH_BUDGET_S", 1500.0))
+_SECTION_SCALE = float(os.environ.get("DVT_BENCH_SECTION_SCALE", 1.0))
 
 
 def _elapsed():
@@ -40,6 +46,8 @@ def section(name, budget_s):
     """Run a bench section under a SIGALRM wall-clock guard.  A section that
     exceeds its budget (or raises) is reported on stderr and skipped — the
     JSON contract line has already been printed by then."""
+
+    budget_s = budget_s * _SECTION_SCALE
 
     def _on_alarm(signum, frame):
         raise SectionTimeout(f"{name}: exceeded {budget_s:.0f}s budget")
@@ -217,23 +225,25 @@ def main():
         )
 
     # --- BLS12-381 MSM on-device (north-star kernel) ------------------------
-    with section("msm", 300):
+    with section("msm", 600):
         from dvt_circuits_tpu.curve import g1 as tg1
         from dvt_circuits_tpu.hostcrypto import bls12_381 as bls
 
-        npts = 64
-        pts = [bls.g1_mul(bls.G1_GEN, 7 * i + 3) for i in range(npts)]
-        scs = [int(rng.integers(1, 1 << 62)) for _ in range(npts)]
-        p_dev = tg1.from_affine_points(pts)
-        d_dev = tg1.scalars_to_digits(scs)
-        t_m = _bench(
-            lambda a, b: tg1._msm_jit(a, b), p_dev, d_dev, reps=3
-        )
-        print(
-            f"# g1 msm ({npts} pts, 256-bit): {t_m*1e3:.0f} ms, "
-            f"{npts/t_m:.1f} scalar-muls/s equivalent",
-            file=sys.stderr,
-        )
+        for npts in (64, 1024):
+            pts = [bls.g1_mul(bls.G1_GEN, 7 * i + 3) for i in range(npts)]
+            scs = [
+                int.from_bytes(rng.bytes(32), "big") % bls.R
+                for _ in range(npts)
+            ]
+            tg1.msm_bucket(pts, scs)  # compile+warm (host API syncs)
+            t0 = time.perf_counter()
+            tg1.msm_bucket(pts, scs)
+            t_m = time.perf_counter() - t0
+            print(
+                f"# g1 msm bucket+glv ({npts} pts, 256-bit): {t_m*1e3:.0f} ms, "
+                f"{npts/t_m:.0f} scalar-muls/s equivalent",
+                file=sys.stderr,
+            )
 
     # --- end-to-end proofs: all four circuits ------------------------------
     import os
@@ -256,13 +266,16 @@ def _proof_sections(rng):
     from dvt_circuits_tpu.utils import cbor
 
     cfg = StarkConfig(num_queries=40, proof_of_work_bits=12)
-    # bad-share uses the generated poly-mismatch fault so the proof carries
-    # the in-circuit G1 curve table (the reference's own exit-0 share
-    # vectors fault before the curve check); the rest are reference vectors
+    # bad-share and bad-partial-key use generated fault scenarios so the
+    # proofs carry the in-circuit G1 curve tables (the reference's own
+    # exit-0 vectors fault at the hash/signature level BEFORE the curve
+    # checks); finalization's reference vector carries the aggregation
+    # chip on its own.
+    committee = DkgCommittee(3, 2)
     vecs = {
-        "bad-share": None,
+        "bad-share": committee.shared_data_bad_secret(0, 1, True),
         "finalization": "auth/finalization/report-1.json",
-        "bad-partial-key": "auth/wrong_final_key_generation/badreport-1-gen-bad-partial-pubkey.json",
+        "bad-partial-key": committee.bad_partial_key_data(1, True),
         "bad-encrypted-share": "auth/bad_encrypted_share/seeds-commitment-from-1-to-2-bad-encrypted-msg.json",
     }
     first = None
@@ -272,10 +285,10 @@ def _proof_sections(rng):
                 f"# {name} proof skipped (total bench budget)", file=sys.stderr
             )
             continue
-        with section(f"proof:{name}", 420):
+        with section(f"proof:{name}", 900):
             spec = get_circuit(name)
-            if rel is None:
-                data = DkgCommittee(3, 2).shared_data_bad_secret(0, 1, True)
+            if not isinstance(rel, str):
+                data = rel
             else:
                 vec = _json.load(open(f"/root/reference/test_vectors/{rel}"))
                 data = spec.data_type.from_json(
@@ -287,7 +300,7 @@ def _proof_sections(rng):
             t_prove = time.perf_counter() - t0
             verify_proof(container)  # warm
             t0 = time.perf_counter()
-            verify_proof(container)
+            res = verify_proof(container)
             t_verify = time.perf_counter() - t0
             gk = ",".join(g["kind"] for g in container["gadgets"]) or "-"
             print(
@@ -295,7 +308,7 @@ def _proof_sections(rng):
                 f"(witness {container['timing']['witness_ms']} ms), "
                 f"verify {t_verify*1e3:.0f} ms, "
                 f"proof {len(cbor.encode(container))//1024} KiB, "
-                f"tables [{gk}], "
+                f"tables [{gk}], binding {res.binding}, "
                 f"throughput {1.0/max(t_prove,1e-9):.2f} proofs/s/chip",
                 file=sys.stderr,
             )

@@ -79,47 +79,73 @@ def _carry_passes(cols, passes: int):
     return cols
 
 
-def _normalize(cols, passes: int = 2):
+def _normalize(cols, passes: int = 3):
     """Exact normalization of unsigned column sums (< 2³²) to 12-bit limbs.
 
-    A couple of magnitude passes bring limbs to carry ∈ {0,1}; the residual
-    single-bit ripple is finished inside one fori_loop (n_limbs iterations —
-    the loop body compiles once, keeping XLA compile time flat; runtime is a
-    short on-device loop).  The carry out of the last limb is dropped
-    (callers size arrays so it is provably zero, or mod-R is intended)."""
+    Three magnitude passes bound every limb by 2^12 (carry ∈ {0, 1}); the
+    residual single-bit ripple is resolved EXACTLY with a Kogge–Stone
+    generate/propagate prefix (log₂(n) vector steps) instead of the old
+    n-iteration fori_loop — the sequential carry loop dominated the
+    latency of every Montgomery multiply (hundreds of tiny kernel steps
+    per group-law op in the MSM).  The carry out of the last limb is
+    dropped (callers size arrays so it is provably zero, or mod-R is
+    intended)."""
     cols = _carry_passes(cols, passes)
+    # limbs now ≤ 2^LIMB_BITS: generate = bit LIMB_BITS, propagate = low
+    # part equal to MASK
+    g = (cols >> LIMB_BITS).astype(jnp.uint32)  # {0, 1}
+    p = ((cols & MASK) == MASK).astype(jnp.uint32)
+    shift = 1
     n = cols.shape[-1]
+    while shift < n:
+        zpad_g = jnp.zeros_like(g[..., :shift])
+        zpad_p = jnp.zeros_like(p[..., :shift])
+        g_prev = jnp.concatenate([zpad_g, g[..., :-shift]], axis=-1)
+        p_prev = jnp.concatenate([zpad_p, p[..., :-shift]], axis=-1)
+        g = g | (p & g_prev)
+        p = p & p_prev
+        shift *= 2
+    cin = jnp.concatenate(
+        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1
+    )
+    return ((cols & MASK) + cin) & MASK
 
-    def step(_, c):
-        carry = c >> LIMB_BITS
-        return (c & MASK) + jnp.concatenate(
-            [jnp.zeros_like(carry[..., :1]), carry[..., :-1]], axis=-1
-        )
 
-    return jax.lax.fori_loop(0, n + 4, step, cols)
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _band_matrix(out_len: int) -> np.ndarray:
+    """(NLIMBS², out_len) 0/1 matrix: flat outer-product index (i, j) → its
+    product column k = i + j."""
+    M = np.zeros((NLIMBS * NLIMBS, out_len), dtype=np.int32)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            if i + j < out_len:
+                M[i * NLIMBS + j, i + j] = 1
+    return M
 
 
 def _mul_columns(a, b, out_len: int):
     """Schoolbook column accumulation: out[k] = Σ_{i+j=k} a_i·b_j (k < out_len).
 
-    Built as 32 shifted partial products + a balanced tree sum (a flat,
-    easily-optimized graph — chained in-place updates make XLA compile time
-    explode)."""
-    nb = a.ndim - 1
-    parts = []
-    for i in range(NLIMBS):
-        take = min(NLIMBS, out_len - i)
-        if take <= 0:
-            break
-        contrib = a[..., i : i + 1] * b[..., :take]
-        pad = [(0, 0)] * nb + [(i, out_len - i - take)]
-        parts.append(jnp.pad(contrib, pad))
-    while len(parts) > 1:
-        nxt = [parts[k] + parts[k + 1] for k in range(0, len(parts) - 1, 2)]
-        if len(parts) % 2:
-            nxt.append(parts[-1])
-        parts = nxt
-    return parts[0]
+    ONE outer product + ONE dot_general against a constant banded 0/1
+    matrix: the antidiagonal sums become a matrix contraction the TPU runs
+    on the MXU, and the traced graph is two ops per call — the previous
+    32-partial-product tree made a single group-law `add` cost thousands
+    of HLO ops and pushed XLA compile times of MSM graphs past 3 minutes.
+    Magnitudes: limbs < 2^12, products < 2^24, column sums < 32·2^24 <
+    2^31 — exact in int32."""
+    outer = (a[..., :, None] * b[..., None, :]).astype(jnp.int32)
+    flat = outer.reshape(*outer.shape[:-2], NLIMBS * NLIMBS)
+    M = jnp.asarray(_band_matrix(out_len))
+    out = jax.lax.dot_general(
+        flat,
+        M,
+        (((flat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return out.astype(jnp.uint32)
 
 
 def mont_mul(a, b):

@@ -229,6 +229,215 @@ def msm(points_affine, scalars):
     return to_affine_points(tuple(c[None] for c in out))[0]
 
 
+# ---------------------------------------------------------------------------
+# Pippenger bucket MSM with GLV decomposition (the BASELINE.json north star:
+# "MSM with bucket accumulation reduced via collectives").
+#
+# GLV: the BLS12-381 cube-root endomorphism φ(x, y) = (β·x, y) satisfies
+# φ(P) = λ·P with λ = z²−1 (z the BLS parameter), so every 256-bit scalar
+# splits into two ~128-bit halves over the lattice basis {(λ, −1), (1, z²)}
+# (both ≡ 0 as a + b·λ mod r; the second because 1 + z²λ = z⁴−z²+1 = r).
+# Signs fold into point negation (y → −y), doubling the point set and
+# halving the window count.
+#
+# Buckets, TPU-style (no data-dependent scatter): per window, SORT the
+# points by digit (argsort + gather), take one group-law PREFIX SCAN
+# (jax.lax.associative_scan over the branchless `add`), and read each
+# bucket sum as prefix[last(b)] − prefix[last(b−1)] (point subtraction =
+# add of the negated point; empty buckets give P − P = ∞ branchlessly).
+# The Σ b·S_b weighted reduction uses the binary trick: for each bit j,
+# T_j = Σ_{b: bit j set} S_b (masked tree reduce), then Σ 2^j·T_j by
+# doubling — all windows processed as one batched axis.
+# ---------------------------------------------------------------------------
+
+_BLS_Z = -0xD201000000010000
+GLV_LAMBDA = (_BLS_Z * _BLS_Z - 1) % host.R
+
+
+def _find_beta() -> int:
+    """The Fp cube root of unity matching GLV_LAMBDA (checked on G)."""
+    # the two primitive cube roots are roots of x² + x + 1
+    for beta in (
+        pow(2, (host.P - 1) // 3, host.P),
+        pow(pow(2, (host.P - 1) // 3, host.P), 2, host.P),
+    ):
+        gx, gy = host.G1_GEN
+        if host.g1_mul(host.G1_GEN, GLV_LAMBDA) == (gx * beta % host.P, gy):
+            return beta
+    raise AssertionError("no matching cube root for the GLV eigenvalue")
+
+
+GLV_BETA = _find_beta()
+
+
+def glv_decompose(k: int):
+    """k ≡ k1 + k2·λ (mod r) with |k1|, |k2| ≈ √r — Babai rounding on the
+    basis {(λ, −1), (1, z²)}.  Returns ((sign1, |k1|), (sign2, |k2|))."""
+    k = int(k) % host.R
+    z2 = _BLS_Z * _BLS_Z
+    c1 = (k * z2 + host.R // 2) // host.R
+    c2 = (k + host.R // 2) // host.R
+    k1 = k - c1 * GLV_LAMBDA - c2 * 1
+    k2 = c1 * 1 - c2 * z2
+    assert (k1 + k2 * GLV_LAMBDA) % host.R == k
+    return (
+        (1 if k1 >= 0 else -1, abs(k1)),
+        (1 if k2 >= 0 else -1, abs(k2)),
+    )
+
+
+GLV_BITS = 130  # |k_i| < √r·(1+ε); 130 bits is a safe static bound
+
+
+def _bucket_digits(values, window_bits: int) -> np.ndarray:
+    """(m,) host ints → (m, nwin) digits, most-significant window first."""
+    nwin = -(-GLV_BITS // window_bits)
+    out = np.zeros((len(values), nwin), dtype=np.int32)
+    mask = (1 << window_bits) - 1
+    for i, v in enumerate(values):
+        v = int(v)
+        for w in range(nwin):
+            out[i, nwin - 1 - w] = (v >> (window_bits * w)) & mask
+    return out
+
+
+def _neg_point(p):
+    return (p[0], fp.neg(p[1]), p[2])
+
+
+def msm_bucket(points_affine, scalars, window_bits: int | None = None):
+    """Σ scalarᵢ·Pᵢ via GLV + bucket accumulation (host in/out API)."""
+    n = len(points_affine)
+    if window_bits is None:
+        window_bits = max(2, min(8, (2 * n).bit_length() - 1))
+    pts = []
+    subscalars = []
+    for pt, s in zip(points_affine, scalars):
+        (s1, a1), (s2, a2) = glv_decompose(s)
+        if pt is None:
+            pts += [None, None]
+        else:
+            x, y = pt
+            pts.append((x, y if s1 > 0 else (host.P - y) % host.P))
+            bx = x * GLV_BETA % host.P
+            pts.append((bx, y if s2 > 0 else (host.P - y) % host.P))
+        subscalars += [a1, a2]
+    p = from_affine_points(pts)
+    digits = jnp.asarray(_bucket_digits(subscalars, window_bits))
+    out = _msm_bucket_jit(p, digits, window_bits)
+    return to_affine_points(tuple(c[None] for c in out))[0]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("window_bits",))
+def _msm_bucket_jit(p, digits, window_bits: int):
+    """p: (m,)-batched Jacobian; digits: (m, nwin) int32 MSB-first."""
+    m, nwin = digits.shape
+    nbuckets = (1 << window_bits) - 1
+
+    # sort each window's points by digit: (nwin, m) gather indices
+    order = jnp.argsort(digits, axis=0).T  # (nwin, m)
+    sorted_digits = jnp.take_along_axis(digits, order.T, axis=0).T  # (nwin, m)
+    pw = tuple(c[order] for c in p)  # (nwin, m, 32) per coordinate
+
+    # group-law prefix scan along the point axis: Hillis–Steele doubling —
+    # log2(m) BATCHED add instances (the whole (nwin, m) batch per step),
+    # so the graph stays small (a naive associative_scan unrolled minutes
+    # of XLA compile; a lax.scan was m sequential latency-bound steps).
+    prefix = pw
+    shift = 1
+    while shift < m:
+        ident = identity((nwin, shift))
+        shifted = tuple(
+            jnp.concatenate([ident[ci], c[:, :-shift]], axis=1)
+            for ci, c in enumerate(prefix)
+        )
+        prefix = add(prefix, shifted)
+        shift *= 2
+
+    # bucket sums via prefix differences at the last index of each digit run
+    buckets = jnp.arange(1, nbuckets + 1, dtype=jnp.int32)  # (nb,)
+
+    def last_idx(row_digits, b):
+        # index of the last element with digit ≤ b (−1 if none)
+        return jnp.searchsorted(row_digits, b, side="right") - 1
+
+    li = jax.vmap(
+        lambda rd: jax.vmap(lambda b: last_idx(rd, b))(buckets)
+    )(sorted_digits)  # (nwin, nb)
+    li_prev = jax.vmap(
+        lambda rd: jax.vmap(lambda b: last_idx(rd, b - 1))(buckets)
+    )(sorted_digits)  # (nwin, nb)
+
+    def pick(idx):
+        # prefix[idx] with idx == −1 → identity
+        valid = idx >= 0  # (nwin, nb)
+        safe = jnp.maximum(idx, 0)
+        got = tuple(
+            jnp.take_along_axis(c, safe[:, :, None], axis=1) for c in prefix
+        )  # (nwin, nb, 32)
+        ident = identity((nwin, nbuckets))
+        return tuple(fp.select(valid, g, i) for g, i in zip(got, ident))
+
+    upper = pick(li)
+    lower = pick(li_prev)
+    bucket_sums = add(upper, _neg_point(lower))  # (nwin, nb, 32)
+
+    # Σ b·S_b per window via the binary-weight trick, with ALL (bit, window)
+    # pairs batched through ONE tree reduction (graph size ~log(nb) group
+    # adds instead of bits × nb — the unrolled variant made XLA compile
+    # times explode)
+    bit_masks = jnp.stack(
+        [((buckets >> j) & 1).astype(bool) for j in range(window_bits)]
+    )  # (w, nb)
+    mask_b = jnp.broadcast_to(
+        bit_masks[:, None, :], (window_bits, nwin, nbuckets)
+    ).reshape(window_bits * nwin, nbuckets)
+    ident = identity((window_bits * nwin, nbuckets))
+    t = tuple(
+        fp.select(
+            mask_b,
+            jnp.broadcast_to(c[None], (window_bits,) + c.shape).reshape(
+                window_bits * nwin, nbuckets, fp.NLIMBS
+            ),
+            ident[ci],
+        )
+        for ci, c in enumerate(bucket_sums)
+    )
+    nb = nbuckets
+    while nb > 1:
+        half = nb // 2
+        a = tuple(c[:, :half] for c in t)
+        b2 = tuple(c[:, half : 2 * half] for c in t)
+        rest = tuple(c[:, 2 * half :] for c in t)
+        s = add(a, b2)
+        t = tuple(jnp.concatenate([cs, cr], axis=1) for cs, cr in zip(s, rest))
+        nb = t[0].shape[1]
+    T = tuple(c[:, 0].reshape(window_bits, nwin, fp.NLIMBS) for c in t)
+
+    # per-window Horner over bits (w sequential double+add steps, batched
+    # over windows)
+    win_sums = tuple(c[window_bits - 1] for c in T)
+    for j in range(window_bits - 2, -1, -1):
+        win_sums = add(double(win_sums), tuple(c[j] for c in T))
+
+    # cross-window Horner: MSB window first, window_bits doublings between
+    # (runtime fori_loop — one add + w doubles in the traced body)
+    acc0 = tuple(c[0] for c in win_sums)
+
+    def body(w, acc):
+        for _ in range(window_bits):
+            acc = double(acc)
+        entry = tuple(
+            jax.lax.dynamic_slice_in_dim(c, w, 1, axis=0)[0] for c in win_sums
+        )
+        return add(acc, entry)
+
+    return jax.lax.fori_loop(1, nwin, body, acc0)
+
+
 def dist_msm(points_affine, scalars, mesh, axis_name: str = "sp"):
     """MSM with points sharded across devices; per-device partial sums are
     gathered over ICI and folded — the collective-reduction pattern of the

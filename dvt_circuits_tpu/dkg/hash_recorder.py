@@ -8,8 +8,9 @@ the DKG verification layer computes is captured as a (preimage, digest)
 pair, and the prover pipeline turns the captured set into gadget STARK
 proofs whose digests are bound to the committed public-value stream.
 
-Recording is process-global (witness programs are single-threaded by
-construction, like the reference's zkVM guests) and zero-cost when off.
+Recording is thread-local (witness programs are single-threaded by
+construction, like the reference's zkVM guests; ``prove_batch`` shards
+independent proofs over dp worker threads) and zero-cost when off.
 """
 
 from __future__ import annotations
@@ -17,23 +18,36 @@ from __future__ import annotations
 from contextlib import contextmanager
 from typing import List, Optional, Tuple
 
-_RECORDS: Optional[List[Tuple[bytes, bytes]]] = None
-_CHACHA: Optional[List[Tuple[bytes, bytes, int, bytes]]] = None
-_G1: Optional[List[dict]] = None
+import threading
+
+#: recording state is THREAD-LOCAL: witness programs are single-threaded
+#: (zkVM-style), but ``prove_batch`` runs independent proofs on dp worker
+#: threads, each with its own recording context
+_TLS = threading.local()
+
+
+def _get(name):
+    return getattr(_TLS, name, None)
+
+
+def _set(name, value):
+    setattr(_TLS, name, value)
 
 
 def record(preimage: bytes, digest: bytes) -> None:
     """Called by the verification layer for every SHA-256 it computes."""
-    if _RECORDS is not None:
-        _RECORDS.append((bytes(preimage), bytes(digest)))
+    records = _get("records")
+    if records is not None:
+        records.append((bytes(preimage), bytes(digest)))
 
 
 def record_chacha(key: bytes, nonce: bytes, counter: int, data: bytes) -> None:
     """Called by the encrypted-share witness for every ChaCha20 decrypt
     (key, nonce, start counter, ciphertext) — the seam feeding the ChaCha20
     gadget AIR (stark/chacha20_air.py), like ``record`` feeds the SHA table."""
-    if _CHACHA is not None:
-        _CHACHA.append((bytes(key), bytes(nonce), int(counter), bytes(data)))
+    chacha = _get("chacha")
+    if chacha is not None:
+        chacha.append((bytes(key), bytes(nonce), int(counter), bytes(data)))
 
 
 def record_g1_poly_check(
@@ -43,8 +57,9 @@ def record_g1_poly_check(
     check (verification.rs:107-118): pk(secret) ?= poly(dest_id) over the
     verification vector.  Feeds the G1 program chip (stark/g1_air.py) —
     the curve-relation analogue of ``record``/``record_chacha``."""
-    if _G1 is not None:
-        _G1.append(
+    g1 = _get("g1")
+    if g1 is not None:
+        g1.append(
             {
                 "kind": "poly",
                 "secret": bytes(secret),
@@ -65,8 +80,9 @@ def record_g1_agg_check(
     ``partial_points`` the sorted partial pubkeys, ``agg_point`` the claimed
     aggregate key.  Feeds the tall G1 chip (stark/g1mul_air.py): Horner per
     id over the column sums + two Lagrange-at-0 reconstructions."""
-    if _G1 is not None:
-        _G1.append(
+    g1 = _get("g1")
+    if g1 is not None:
+        g1.append(
             {
                 "kind": "agg",
                 "vvs": [
@@ -90,8 +106,9 @@ def record_g1_partial_check(
     """Called by ``_verify_expected_key`` (verification.rs:422-466): the
     expected-key relation Horner(Σ_i C_i·, perp_id) vs the accused partial
     pubkey, over the SORTED generations' verification vectors."""
-    if _G1 is not None:
-        _G1.append(
+    g1 = _get("g1")
+    if g1 is not None:
+        g1.append(
             {
                 "kind": "partial",
                 "vvs": [
@@ -109,13 +126,13 @@ def record_g1_partial_check(
 @contextmanager
 def g1_recording():
     """Capture G1 curve relations performed by the witness."""
-    global _G1
-    prev = _G1
-    _G1 = [] if prev is None else prev
+    prev = _get("g1")
+    cur = [] if prev is None else prev
+    _set("g1", cur)
     try:
-        yield _G1
+        yield cur
     finally:
-        _G1 = prev
+        _set("g1", prev)
 
 
 @contextmanager
@@ -125,22 +142,22 @@ def recording():
     Yields the live list; duplicates are preserved in call order (the
     pipeline dedupes).  Nested use shares the innermost list.
     """
-    global _RECORDS
-    prev = _RECORDS
-    _RECORDS = [] if prev is None else prev
+    prev = _get("records")
+    cur = [] if prev is None else prev
+    _set("records", cur)
     try:
-        yield _RECORDS
+        yield cur
     finally:
-        _RECORDS = prev
+        _set("records", prev)
 
 
 @contextmanager
 def chacha_recording():
     """Capture all ChaCha20 (key, nonce, counter, ciphertext) invocations."""
-    global _CHACHA
-    prev = _CHACHA
-    _CHACHA = [] if prev is None else prev
+    prev = _get("chacha")
+    cur = [] if prev is None else prev
+    _set("chacha", cur)
     try:
-        yield _CHACHA
+        yield cur
     finally:
-        _CHACHA = prev
+        _set("chacha", prev)

@@ -113,6 +113,20 @@ def _phases(air: Air, log_n: int, config: StarkConfig, mesh, ax: str):
     tables = _domain_tables(log_n, config.log_blowup, config.shift)
     shift = config.shift
 
+    # Materialize every lru-cached constant table EAGERLY (outside any
+    # trace): a first call from inside a shard_map would cache tracers
+    # (UnexpectedTracerError on the next single-chip use — same hazard
+    # stark/fused.py documents for its fused build).
+    from ..pcs.fri import _inv2x_table
+
+    final_len = (1 << config.log_final_poly_len) * config.blowup
+    size = n_lde
+    shift_r = config.shift
+    while size > final_len:
+        _inv2x_table(shift_r, size.bit_length() - 1)
+        shift_r = shift_r * shift_r % bb.P
+        size //= 2
+
     counter: dict = {}
 
     def commit_kernel(mat_l, w_true):
@@ -560,6 +574,8 @@ def dist_prove(
             "hi_row": np.asarray(hi_row), "hi_path": np.asarray(hi_path),
         }
 
+    from ..utils.packing import pack_u32
+
     fri_queries = [[] for _ in range(config.num_queries)]
     idx_np = np.array(indices, dtype=np.int64)
     for (pairs, levels, top, n_half) in fri_rounds:
@@ -569,10 +585,7 @@ def dist_prove(
         path = np.asarray(path)
         for qi in range(config.num_queries):
             fri_queries[qi].append(
-                {
-                    "leaf": [int(v) for v in row[qi]],
-                    "path": [[int(v) for v in p] for p in path[qi]],
-                }
+                {"leaf": pack_u32(row[qi]), "path": pack_u32(path[qi])}
             )
         idx_np = j
 
@@ -588,9 +601,9 @@ def dist_prove(
         "public_values": publics,
         "root_t": [int(v) for v in root_t],
         "root_q": [int(v) for v in root_q],
-        "opened_t_zeta": [list(v) for v in opened_t_zeta],
-        "opened_t_gzeta": [list(v) for v in opened_t_gzeta],
-        "opened_q_zeta": [list(v) for v in opened_q_zeta],
+        "opened_t_zeta": pack_u32(np.asarray(opened_t_zeta, dtype=np.uint32)),
+        "opened_t_gzeta": pack_u32(np.asarray(opened_t_gzeta, dtype=np.uint32)),
+        "opened_q_zeta": pack_u32(np.asarray(opened_q_zeta, dtype=np.uint32)),
         "fri": {
             "roots": fri_roots,
             "final_coeffs": [list(c) for c in final_coeffs],
@@ -602,16 +615,12 @@ def dist_prove(
             {
                 name: {
                     "lo": {
-                        "row": [int(v) for v in outer[name]["lo_row"][qi]],
-                        "path": [
-                            [int(v) for v in p] for p in outer[name]["lo_path"][qi]
-                        ],
+                        "row": pack_u32(outer[name]["lo_row"][qi]),
+                        "path": pack_u32(outer[name]["lo_path"][qi]),
                     },
                     "hi": {
-                        "row": [int(v) for v in outer[name]["hi_row"][qi]],
-                        "path": [
-                            [int(v) for v in p] for p in outer[name]["hi_path"][qi]
-                        ],
+                        "row": pack_u32(outer[name]["hi_row"][qi]),
+                        "path": pack_u32(outer[name]["hi_path"][qi]),
                     },
                 }
                 for name, *_ in tree_list
@@ -622,8 +631,10 @@ def dist_prove(
     }
     if pre_width:
         proof["root_p"] = [int(v) for v in root_p]
-        proof["opened_p_zeta"] = [list(v) for v in opened_p_zeta]
-        proof["opened_p_gzeta"] = [list(v) for v in opened_p_gzeta]
+        proof["opened_p_zeta"] = pack_u32(np.asarray(opened_p_zeta, dtype=np.uint32))
+        proof["opened_p_gzeta"] = pack_u32(
+            np.asarray(opened_p_gzeta, dtype=np.uint32)
+        )
     return proof
 
 

@@ -138,7 +138,9 @@ def fri_prove(codeword, shift: int, config: FriConfig, challenger: DuplexChallen
 
     pow_witness = challenger.grind(config.proof_of_work_bits)
 
-    # queries
+    # queries (leaves/paths packed as 4-byte words — utils.packing)
+    from ..utils.packing import pack_u32
+
     queries = []
     log_n0 = log_n
     for _ in range(config.num_queries):
@@ -150,7 +152,7 @@ def fri_prove(codeword, shift: int, config: FriConfig, challenger: DuplexChallen
             j = idx % n_half
             row, path = tree.open(j)
             rounds.append(
-                {"leaf": [int(v) for v in row], "path": [[int(v) for v in p] for p in path]}
+                {"leaf": pack_u32(row), "path": pack_u32(np.asarray(path))}
             )
             idx = j  # i_{r+1} = i_r mod N_r/2
         queries.append({"index": leaf_index, "rounds": rounds})
@@ -181,10 +183,13 @@ def _pow_mod_vec(base: int, exps: np.ndarray) -> np.ndarray:
 
 
 def _as_field_array(values, shape, err: str) -> np.ndarray:
-    """Convert nested ints to a uint64 array, enforcing 0 ≤ v < p."""
+    """Convert nested ints OR packed 4-byte-word blobs (utils.packing) to a
+    uint64 array, enforcing 0 ≤ v < p."""
+    from ..utils.packing import unpack_rows
+
     try:
-        arr = np.asarray(values, dtype=np.uint64)
-    except (ValueError, TypeError, OverflowError):
+        arr = unpack_rows(values, shape, err)
+    except ValueError:
         raise FriError(err) from None
     if arr.shape != shape or np.any(arr >= np.uint64(bb.P)):
         raise FriError(err)

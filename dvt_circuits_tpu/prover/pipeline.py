@@ -381,7 +381,15 @@ def prove_circuit(
     if chacha_entry is not None:
         entries.append(chacha_entry)
 
-    if os.environ.get("DVT_FUSED", "1") != "0":
+    # prover backend: device-fused (default), device-phase (DVT_FUSED=0,
+    # the cross-check oracle) or pure-host numpy (DVT_PROVER=host — no XLA
+    # compile; seconds for small tables, used by CI smokes and
+    # accelerator-free environments).  All three emit bit-identical proofs.
+    if os.environ.get("DVT_PROVER") == "host":
+        from ..stark.host_prover import host_prove_tables
+
+        proofs, _ = host_prove_tables(entries, config)
+    elif os.environ.get("DVT_FUSED", "1") != "0":
         proofs, _ = fused_prove_tables(entries, config)
     else:
         challenger = DuplexChallenger()
@@ -868,12 +876,47 @@ def prove_batch(
     auth: bool,
     config: StarkConfig = DEFAULT_CONFIG,
     setup: str = "secp-commitment",
+    mesh=None,
 ) -> list:
     """Prove a batch of independent scenarios (BASELINE.json's batched
-    multi-proof configuration).  Device phase functions are compiled once
-    per trace shape and reused across the batch; the per-proof transcripts
-    stay independent (each proof verifies standalone)."""
-    return [prove_circuit(circuit_name, d, auth, config, setup) for d in datas]
+    multi-proof configuration).
+
+    Single device: device phase functions are compiled once per trace shape
+    and reused across the batch.  With a ``mesh`` carrying a ``dp`` axis,
+    the batch is SHARDED over the data-parallel device groups: each proof's
+    device work is dispatched to its group's device (proofs are mutually
+    independent, so dp is proof-level parallelism — SURVEY.md §2.3 DP row);
+    per-proof transcripts run on host threads while device execution
+    overlaps.  Proof bytes are identical to the sequential path (each proof
+    verifies standalone)."""
+    datas = list(datas)
+    dp_devices = None
+    if mesh is not None and "dp" in getattr(mesh, "axis_names", ()):
+        dp = mesh.shape["dp"]
+        if dp > 1 and len(datas) > 1:
+            # one representative device per dp group
+            import numpy as _np
+
+            dev_grid = _np.asarray(mesh.devices)
+            axis = list(mesh.axis_names).index("dp")
+            dev_grid = _np.moveaxis(dev_grid, axis, 0).reshape(dp, -1)
+            dp_devices = [dev_grid[i, 0] for i in range(dp)]
+    if dp_devices is None:
+        return [prove_circuit(circuit_name, d, auth, config, setup) for d in datas]
+
+    import concurrent.futures
+
+    import jax
+
+    def one(i_data):
+        i, data = i_data
+        with jax.default_device(dp_devices[i % len(dp_devices)]):
+            return prove_circuit(circuit_name, data, auth, config, setup)
+
+    with concurrent.futures.ThreadPoolExecutor(
+        max_workers=len(dp_devices)
+    ) as pool:
+        return list(pool.map(one, enumerate(datas)))
 
 
 def save_proof(container: dict, path: str) -> None:

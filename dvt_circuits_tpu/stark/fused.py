@@ -193,16 +193,24 @@ _AOT_DIR = os.path.expanduser(
 _CODE_FP = None
 
 
+#: packages whose sources shape the TRACED graphs; edits elsewhere (the
+#: host pipeline, dkg logic, CLI, docs, bench) must not invalidate AOT
+#: blobs — a cold fused compile costs ~15 min per table shape
+_TRACED_PKGS = ("field", "hash", "ntt", "pcs", "stark", "parallel", "curve")
+
+
 def _code_fingerprint() -> str:
-    """Hash of the package sources — a stale AOT blob must never outlive a
-    code change (it would silently prove with old semantics)."""
+    """Hash of the kernel/graph-shaping sources — a stale AOT blob must
+    never outlive a change to the code it was traced from (it would
+    silently prove with old semantics)."""
     global _CODE_FP
     if _CODE_FP is None:
         h = hashlib.sha256()
         pkg = Path(__file__).resolve().parent.parent
-        for p in sorted(pkg.rglob("*.py")):
-            h.update(p.name.encode())
-            h.update(p.read_bytes())
+        for sub in _TRACED_PKGS:
+            for p in sorted((pkg / sub).rglob("*.py")):
+                h.update(p.name.encode())
+                h.update(p.read_bytes())
         _CODE_FP = h.hexdigest()[:16]
     return _CODE_FP
 
@@ -545,23 +553,30 @@ def _prove_tables_group(
         if int(out["pow_check"]) != 0:
             raise AssertionError("on-device grind failed")  # pragma: no cover
         n_lde = (1 << log_n) << config.log_blowup
-        # bulk ndarray→list conversion (tolist is C-speed; per-int Python
-        # loops cost ~1s for the 26k-column G1 chip's 2M opened values)
-        fri_leaves = [np.asarray(a).tolist() for a in out["fri_leaves"]]
-        fri_paths = [np.asarray(a).tolist() for a in out["fri_paths"]]
+        # openings are emitted PACKED (utils.packing, 4-byte words) straight
+        # from the fetched ndarrays — smaller containers and no per-int
+        # Python conversion (the old tolist pass cost ~1s for the wide
+        # chip's 2M opened values)
+        from ..utils.packing import pack_u32
+
+        fri_leaves = [np.asarray(a) for a in out["fri_leaves"]]
+        fri_paths = [np.asarray(a) for a in out["fri_paths"]]
         queries = []
         for qi in range(config.num_queries):
             rounds = []
             for r in range(len(out["fri_roots"])):
                 rounds.append(
-                    {"leaf": fri_leaves[r][qi], "path": fri_paths[r][qi]}
+                    {
+                        "leaf": pack_u32(fri_leaves[r][qi]),
+                        "path": pack_u32(fri_paths[r][qi]),
+                    }
                 )
             queries.append({"index": int(out["q_indices"][qi]), "rounds": rounds})
 
         openings = []
         names = (["p"] if air.preprocessed_width else []) + ["t", "q"]
         outer_l = {
-            name: {k: np.asarray(v).tolist() for k, v in out["outer"][name].items()}
+            name: {k: np.asarray(v) for k, v in out["outer"][name].items()}
             for name in names
         }
         for qi in range(config.num_queries):
@@ -569,8 +584,14 @@ def _prove_tables_group(
             for name in names:
                 o = outer_l[name]
                 rows[name] = {
-                    "lo": {"row": o["lo_row"][qi], "path": o["lo_path"][qi]},
-                    "hi": {"row": o["hi_row"][qi], "path": o["hi_path"][qi]},
+                    "lo": {
+                        "row": pack_u32(o["lo_row"][qi]),
+                        "path": pack_u32(o["lo_path"][qi]),
+                    },
+                    "hi": {
+                        "row": pack_u32(o["hi_row"][qi]),
+                        "path": pack_u32(o["hi_path"][qi]),
+                    },
                 }
             openings.append(rows)
 
@@ -581,9 +602,9 @@ def _prove_tables_group(
             "public_values": [int(v) for v in np.asarray(inp["publics"])],
             "root_t": [int(v) for v in out["root_t"]],
             "root_q": [int(v) for v in out["root_q"]],
-            "opened_t_zeta": [[int(x) for x in v] for v in out["opened"]["t_zeta"]],
-            "opened_t_gzeta": [[int(x) for x in v] for v in out["opened"]["t_gzeta"]],
-            "opened_q_zeta": [[int(x) for x in v] for v in out["opened"]["q_zeta"]],
+            "opened_t_zeta": pack_u32(np.asarray(out["opened"]["t_zeta"])),
+            "opened_t_gzeta": pack_u32(np.asarray(out["opened"]["t_gzeta"])),
+            "opened_q_zeta": pack_u32(np.asarray(out["opened"]["q_zeta"])),
             "fri": {
                 "roots": [[int(v) for v in r] for r in out["fri_roots"]],
                 "final_coeffs": [[int(x) for x in c] for c in out["final_coeffs"]],
@@ -596,11 +617,9 @@ def _prove_tables_group(
         }
         if air.preprocessed_width:
             proof["root_p"] = [int(v) for v in out["root_p"]]
-            proof["opened_p_zeta"] = [
-                [int(x) for x in v] for v in out["opened"]["p_zeta"]
-            ]
-            proof["opened_p_gzeta"] = [
-                [int(x) for x in v] for v in out["opened"]["p_gzeta"]
-            ]
+            proof["opened_p_zeta"] = pack_u32(np.asarray(out["opened"]["p_zeta"]))
+            proof["opened_p_gzeta"] = pack_u32(
+                np.asarray(out["opened"]["p_gzeta"])
+            )
         proofs.append(proof)
     return proofs, state_out

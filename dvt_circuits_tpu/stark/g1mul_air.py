@@ -785,14 +785,20 @@ class G1MulAir(Air):
                 )
             )
 
+        _op_cache = {}
+
         def op_limbs_gated(which, use_next):
             """Σ_c chainflag_c·pub_op_c — flags from the TARGET row."""
+            hit = _op_cache.get((which, use_next))
+            if hit is not None:
+                return hit
             P_ = PREN if use_next else PRE
             acc = None
             for ci in range(self.num_chains):
                 v = chain_op[ci][0 if which == "opx" else 1]
                 term = mm(P_[:, PF_FIXED + ci][:, None], v[None, :])
                 acc = term if acc is None else add(acc, term)
+            _op_cache[(which, use_next)] = acc
             return acc
 
         def form_limbs(f: MF, nl: int):
@@ -1116,7 +1122,12 @@ class G1MulAir(Air):
         flags_n = {p: b.preprocessed_next(PH[p]) for p in PHASES}
         ZERO = b.constant(0)
 
+        _op_cache: Dict[Tuple[str, bool], list] = {}
+
         def op_limbs_gated(which, use_next):
+            hit = _op_cache.get((which, use_next))
+            if hit is not None:
+                return hit
             out = []
             for i in range(NLIMBS):
                 e = ZERO
@@ -1130,6 +1141,7 @@ class G1MulAir(Air):
                     )
                     e = b.add(e, b.mul(flag, b.public(pub_i)))
                 out.append(e)
+            _op_cache[(which, use_next)] = out
             return out
 
         def form_limbs(f: MF, nl):

@@ -95,17 +95,26 @@ def verify(
 
     ``challenger`` chains the replayed transcript for multi-table proofs
     (must mirror the prover's table order — see ``prover.prove``)."""
+    def _ext_rows(v):
+        """Opened-value block: packed blob or nested list → BB4 tuples."""
+        from ..utils.packing import unpack_u32
+
+        if isinstance(v, (bytes, bytearray)):
+            arr = unpack_u32(v).reshape(-1, 4)
+            return [tuple(int(x) % bb.P for x in row) for row in arr]
+        return [tuple(int(x) % bb.P for x in row) for row in v]
+
     try:
         log_n = int(proof["log_n"])
         width = int(proof["width"])
         root_t = [int(v) for v in proof["root_t"]]
         root_q = [int(v) for v in proof["root_q"]]
-        opened_t_zeta = [tuple(int(x) % bb.P for x in v) for v in proof["opened_t_zeta"]]
-        opened_t_gzeta = [tuple(int(x) % bb.P for x in v) for v in proof["opened_t_gzeta"]]
-        opened_q_zeta = [tuple(int(x) % bb.P for x in v) for v in proof["opened_q_zeta"]]
+        opened_t_zeta = _ext_rows(proof["opened_t_zeta"])
+        opened_t_gzeta = _ext_rows(proof["opened_t_gzeta"])
+        opened_q_zeta = _ext_rows(proof["opened_q_zeta"])
         fri_proof = proof["fri"]
         query_openings = proof["query_openings"]
-    except (KeyError, TypeError) as e:
+    except (KeyError, TypeError, ValueError) as e:
         raise StarkError(f"malformed proof: {e}") from None
 
     publics = [int(v) % bb.P for v in public_values]
@@ -130,8 +139,8 @@ def verify(
         root_p = preprocessed_commitment(air, log_n, config)
         if [int(v) for v in proof.get("root_p", [])] != root_p:
             raise StarkError("preprocessed commitment mismatch")
-        opened_p_zeta = [tuple(int(x) % bb.P for x in v) for v in proof["opened_p_zeta"]]
-        opened_p_gzeta = [tuple(int(x) % bb.P for x in v) for v in proof["opened_p_gzeta"]]
+        opened_p_zeta = _ext_rows(proof["opened_p_zeta"])
+        opened_p_gzeta = _ext_rows(proof["opened_p_gzeta"])
         if len(opened_p_zeta) != pre_width or len(opened_p_gzeta) != pre_width:
             raise StarkError("wrong number of preprocessed openings")
     else:

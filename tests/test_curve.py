@@ -87,3 +87,38 @@ class TestG1:
         for p, s in zip(points, sc):
             want = host.g1_add(want, host.g1_mul(p, s))
         assert got == want
+
+
+class TestBucketMsm:
+    """GLV decomposition + Pippenger bucket MSM (curve/g1.py msm_bucket)."""
+
+    def test_glv_decompose(self, rng):
+        for _ in range(50):
+            k = int.from_bytes(rng.bytes(32), "big") % host.R
+            (s1, a1), (s2, a2) = g1.glv_decompose(k)
+            assert (s1 * a1 + s2 * a2 * g1.GLV_LAMBDA) % host.R == k
+            assert a1 < 1 << g1.GLV_BITS and a2 < 1 << g1.GLV_BITS
+
+    def test_endomorphism_matches_eigenvalue(self):
+        for k in (2, 3, 12345):
+            x, y = host.g1_mul(host.G1_GEN, k)
+            assert host.g1_mul((x, y), g1.GLV_LAMBDA) == (
+                x * g1.GLV_BETA % host.P,
+                y,
+            )
+
+    @pytest.mark.skipif(not HEAVY, reason="minutes of XLA CPU compile")
+    def test_msm_bucket_matches_host(self, rng):
+        n = 16
+        pts = [host.g1_mul(host.G1_GEN, 7 * i + 3) for i in range(n)]
+        scs = [int.from_bytes(rng.bytes(32), "big") % host.R for _ in range(n)]
+        expect = None
+        for p, s in zip(pts, scs):
+            expect = host.g1_add(expect, host.g1_mul(p, s))
+        assert g1.msm_bucket(pts, scs) == expect
+
+    @pytest.mark.skipif(not HEAVY, reason="minutes of XLA CPU compile")
+    def test_msm_bucket_identities_and_zeros(self, rng):
+        pts = [None, host.g1_mul(host.G1_GEN, 9), host.g1_mul(host.G1_GEN, 11)]
+        scs = [7, 0, 13]
+        assert g1.msm_bucket(pts, scs) == host.g1_mul(pts[2], 13)

@@ -42,12 +42,47 @@ def test_dist_proof_bit_identical_to_single_chip():
     assert dist == single
 
 
+@pytest.mark.heavy
 def test_dist_proof_verifies():
     air, trace, publics = _fib_entry(128)
     proof = dist_prove(air, trace, publics, TEST_CONFIG, _mesh())
     assert stark_verify(air, proof, publics, TEST_CONFIG)
 
 
+@pytest.mark.heavy
+def test_prove_batch_dp_sharded_matches_sequential():
+    """DP-sharded batch proving (proof-level data parallelism): bit-equal
+    containers to the sequential path, with device work spread over the
+    dp groups."""
+    import os
+
+    from dvt_circuits_tpu.dkg.scenario_gen import DkgCommittee
+    from dvt_circuits_tpu.prover.pipeline import prove_batch, verify_proof
+
+    os.environ["DVT_G1"] = "0"  # CPU-budget: stream+sha tables only
+    os.environ["DVT_FUSED"] = "0"
+    try:
+        cm = DkgCommittee(3, 2)
+        datas = [
+            cm.shared_data_bad_secret(0, 1, True),
+            cm.shared_data_bad_secret(1, 2, True),
+        ]
+        mesh = make_mesh({"dp": 4, "sp": 2})
+        seq = prove_batch("bad-share", datas, True, TEST_CONFIG)
+        par = prove_batch("bad-share", datas, True, TEST_CONFIG, mesh=mesh)
+
+        def strip_timing(c):
+            return {k: v for k, v in c.items() if k != "timing"}
+
+        assert [strip_timing(c) for c in par] == [strip_timing(c) for c in seq]
+        for c in par:
+            assert verify_proof(c)
+    finally:
+        os.environ.pop("DVT_G1", None)
+        os.environ.pop("DVT_FUSED", None)
+
+
+@pytest.mark.heavy
 def test_dist_multi_table_chained_transcript():
     e1 = _fib_entry(64)
     a2 = MulChainAir()

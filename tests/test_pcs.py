@@ -122,7 +122,9 @@ class TestFri:
     def test_tampered_leaf_rejected(self, setup):
         cw, proof = setup
         bad = copy.deepcopy(proof)
-        bad["queries"][2]["rounds"][1]["leaf"][3] ^= 1
+        blob = bytearray(bad["queries"][2]["rounds"][1]["leaf"])
+        blob[3 * 4 + 3] ^= 1  # value 3 of the packed leaf
+        bad["queries"][2]["rounds"][1]["leaf"] = bytes(blob)
         with pytest.raises(FriError):
             fri_verify(bad, bb.GENERATOR, self.LOG_N, self.CFG, DuplexChallenger(), self._open_input(cw))
 

@@ -39,14 +39,18 @@ class TestFibonacci:
     def test_tampered_opening(self, fib_proof):
         air, _, pv, proof = fib_proof
         bad = copy.deepcopy(proof)
-        bad["opened_t_zeta"][0][0] ^= 1
+        blob = bytearray(bad["opened_t_zeta"])
+        blob[3] ^= 1  # first opened value's low byte (packed 4-byte words)
+        bad["opened_t_zeta"] = bytes(blob)
         with pytest.raises(StarkError):
             verify(air, bad, pv, TEST_CONFIG)
 
     def test_tampered_outer_opening(self, fib_proof):
         air, _, pv, proof = fib_proof
         bad = copy.deepcopy(proof)
-        bad["query_openings"][1]["t"]["lo"]["row"][0] ^= 1
+        blob = bytearray(bad["query_openings"][1]["t"]["lo"]["row"])
+        blob[3] ^= 1
+        bad["query_openings"][1]["t"]["lo"]["row"] = bytes(blob)
         with pytest.raises(StarkError):
             verify(air, bad, pv, TEST_CONFIG)
 
