@@ -6,15 +6,21 @@ PY ?= python
 .PHONY: test test-fast heavy-test native gen-spec examples bench clean install-git-hooks
 
 # --dist loadfile: heavy module-scoped fixtures (proof containers) must not
-# be rebuilt once per worker
+# be rebuilt once per worker.  Full-size proving suites live behind
+# DVT_HEAVY_TESTS (`make heavy-test`); the default path still includes a
+# REAL container prove/verify smoke via the numpy host prover
+# (tests/test_pipeline_smoke.py — no XLA compile).  Measured wall: ~10 min
+# on this 2-core host (XLA CPU compile-bound), minutes on a many-core box.
 test:
 	$(PY) -m pytest tests/ -q -n auto --dist loadfile
 
 test-fast:
 	$(PY) -m pytest tests/ -q -n auto --dist loadfile --ignore=tests/test_golden_vectors.py
 
+# full-size proving suites (container fixtures, wide-chip STARKs, CPU-mesh
+# distributed proofs, device scalar-mul compiles) — CPU-hours cold
 heavy-test:
-	DVT_HEAVY_TESTS=1 $(PY) -m pytest tests/test_curve.py -q
+	DVT_HEAVY_TESTS=1 $(PY) -m pytest tests/ -q -n auto --dist loadfile
 
 native:
 	g++ -O3 -shared -fPIC -o native/dvt_native.so native/dvt_native.cpp

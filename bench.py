@@ -246,8 +246,13 @@ def main():
             )
 
     # --- end-to-end proofs: all four circuits ------------------------------
-    import os
-
+    print(
+        "# scaling note: one physical TPU chip is attached — multi-chip "
+        "correctness (proof-byte identity at any sharding) is validated by "
+        "the driver dryrun + tests/test_dist_stark.py; ICI scaling "
+        "efficiency is unmeasurable without >=2 real chips",
+        file=sys.stderr,
+    )
     if os.environ.get("DVT_BENCH_SKIP_PROOFS", "0") != "1":
         _proof_sections(rng)
 

@@ -8,11 +8,11 @@ traces of a proof batch) stream through, and at any step device d is working
 on microbatch (step − d) — all stages busy once the pipe fills, with
 ``ppermute`` carrying the activation buffer one hop per step.
 
-Stages (S = pp axis size ≥ 3):
+Stages (S = pp axis size ≥ 3) — EVERY stage carries real work:
   0        — to-Montgomery + coset LDE
   1        — Poseidon2 leaf hashing
-  2..S−2   — pass-through (placeholders for quotient/fold stages)
-  S−1      — Merkle cap reduction to the root
+  2..S−1   — the log₂(n_lde) Merkle compression levels, distributed evenly
+             across the remaining stages (the last one emits the root)
 
 Roots are bit-identical to the sequential single-device commit of each
 microbatch (tested on the virtual CPU mesh).  All control flow is a
@@ -48,6 +48,18 @@ def pp_commit_pipeline(traces, mesh, log_blowup: int = 1, shift: int = bb.GENERA
     n_lde = n << log_blowup
     buf_w = max(w, DIGEST_WIDTH)
     steps = B + S - 1
+    # distribute the log2(n_lde) compression levels over stages 2..S-1:
+    # earlier reduce stages take the (larger) lower levels
+    total_levels = n_lde.bit_length() - 1
+    n_reduce = S - 2
+    base, extra = divmod(total_levels, n_reduce)
+    levels_per_stage = [base + (1 if i < extra else 0) for i in range(n_reduce)]
+    # rows of live digests ENTERING each reduce stage
+    rows_in = []
+    rows = n_lde
+    for lv in levels_per_stage:
+        rows_in.append(rows)
+        rows >>= lv
 
     def kernel(tr):
         stage = jax.lax.axis_index(axis_name)
@@ -64,26 +76,26 @@ def pp_commit_pipeline(traces, mesh, log_blowup: int = 1, shift: int = bb.GENERA
             out = jnp.zeros((n_lde, buf_w), jnp.uint32)
             return out.at[:, :DIGEST_WIDTH].set(digests)
 
-        def stage_pass(buf, step):
-            return buf
+        def make_reduce(rows_live: int, n_levels: int):
+            def stage_reduce(buf, step):
+                digests = buf[:rows_live, :DIGEST_WIDTH]
+                for _ in range(n_levels):
+                    digests = compress_pairs(
+                        digests.reshape(-1, 2, DIGEST_WIDTH)
+                    )
+                out = jnp.zeros((n_lde, buf_w), jnp.uint32)
+                return out.at[: digests.shape[0], :DIGEST_WIDTH].set(digests)
 
-        def stage_reduce(buf, step):
-            digests = buf[:, :DIGEST_WIDTH]
-            while digests.shape[0] > 1:
-                digests = compress_pairs(digests.reshape(-1, 2, DIGEST_WIDTH))
-            out = jnp.zeros((n_lde, buf_w), jnp.uint32)
-            return out.at[0, :DIGEST_WIDTH].set(digests[0])
+            return stage_reduce
 
-        # stage id → branch index: 0, 1, pass…, 2
-        branch = jnp.where(
-            stage == 0, 0, jnp.where(stage == 1, 1, jnp.where(stage == S - 1, 3, 2))
-        )
+        branches = [stage_lde, stage_hash] + [
+            make_reduce(rows_in[i], levels_per_stage[i]) for i in range(n_reduce)
+        ]
+        branch = jnp.clip(stage, 0, len(branches) - 1)
 
         def body(step, carry):
             buf, roots = carry
-            new_buf = jax.lax.switch(
-                branch, [stage_lde, stage_hash, stage_pass, stage_reduce], buf, step
-            )
+            new_buf = jax.lax.switch(branch, branches, buf, step)
             # the root emerges on the last stage at step = microbatch + S - 1
             mb_idx = step - (S - 1)
             is_root = (stage == S - 1) & (mb_idx >= 0) & (mb_idx < B)

@@ -122,3 +122,44 @@ class TestBucketMsm:
         pts = [None, host.g1_mul(host.G1_GEN, 9), host.g1_mul(host.G1_GEN, 11)]
         scs = [7, 0, 13]
         assert g1.msm_bucket(pts, scs) == host.g1_mul(pts[2], 13)
+
+
+class TestG2:
+    """Device G2 ops (curve/g2.py, Fp² towers) vs the host implementation."""
+
+    def test_add_double_match_host(self):
+        from dvt_circuits_tpu.curve import g2 as tg2
+
+        pts = [host.g2_mul(host.G2_GEN, k) for k in (1, 2, 5, 9)]
+        P1 = tg2.from_host_points(pts)
+        P2 = tg2.from_host_points(list(reversed(pts)))
+        assert tg2.to_host_points(tg2.add_jit(P1, P2)) == [
+            host.g2_add(a, b) for a, b in zip(pts, reversed(pts))
+        ]
+        assert tg2.to_host_points(tg2.double_jit(P1)) == [
+            host.g2_add(p, p) for p in pts
+        ]
+
+    def test_identity_and_cancellation(self):
+        from dvt_circuits_tpu.curve import g2 as tg2
+
+        pts = [host.g2_mul(host.G2_GEN, k) for k in (1, 2, 5, 9)]
+        mix = [None, pts[0], pts[1], pts[2]]
+        neg = [None, None, (pts[1][0], host.fp2_neg(pts[1][1])), pts[3]]
+        got = tg2.to_host_points(
+            tg2.add_jit(tg2.from_host_points(mix), tg2.from_host_points(neg))
+        )
+        assert got == [host.g2_add(a, b) for a, b in zip(mix, neg)]
+
+    @pytest.mark.skipif(not HEAVY, reason="256-round compile")
+    def test_scalar_mul_matches_host(self, rng):
+        from dvt_circuits_tpu.curve import g1 as tg1
+        from dvt_circuits_tpu.curve import g2 as tg2
+
+        pts = [host.g2_mul(host.G2_GEN, k) for k in (3, 7)]
+        scs = [int.from_bytes(rng.bytes(32), "big") % host.R for _ in range(2)]
+        bits = tg1.scalars_to_bits(scs)
+        got = tg2.to_host_points(
+            jax.jit(tg2.scalar_mul)(tg2.from_host_points(pts), bits)
+        )
+        assert got == [host.g2_mul(p, s) for p, s in zip(pts, scs)]

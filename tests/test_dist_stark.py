@@ -35,6 +35,8 @@ def _fib_entry(n=64):
     return air, trace, air.public_values(trace)
 
 
+@pytest.mark.heavy  # XLA CPU phase compiles (~minutes); the driver dryrun
+# exercises the same byte-identity in the default validation path
 def test_dist_proof_bit_identical_to_single_chip():
     air, trace, publics = _fib_entry()
     single = single_prove(air, trace, publics, TEST_CONFIG)
