@@ -123,7 +123,9 @@ def main():
     # On TPU the production layout is transposed (16, N): batch on VPU lanes,
     # all 22 rounds VMEM-resident (hash/poseidon2_pallas.py, used by the
     # Merkle tree build).  Elsewhere fall back to the XLA (N, 16) path.
-    batch = 1 << 20 if on_tpu else 1 << 17
+    # 2^22 lanes amortize the per-dispatch tunnel overhead (measured ~2×
+    # apparent throughput vs 2^20 on days the shared tunnel runs slow).
+    batch = 1 << 22 if on_tpu else 1 << 17
     if on_tpu:
         states = jnp.asarray(
             rng.integers(0, bb.P, size=(16, batch), dtype=np.uint32)
