@@ -48,7 +48,12 @@ def _u32(x):
 
 
 def mulhi(a, b):
-    """High 32 bits of the 64-bit product of two uint32 arrays."""
+    """High 32 bits of the 64-bit product of two uint32 arrays.
+
+    4 hardware multiplies; the two middle partials are summed in one uint32
+    add whose wrap-around carry is recovered from the unsigned compare
+    (mid < lh ⇔ overflow), saving two mask/shift ops per call vs the naive
+    four-way split."""
     a = _u32(a)
     b = _u32(b)
     a0 = a & 0xFFFF
@@ -59,25 +64,30 @@ def mulhi(a, b):
     lh = a0 * b1
     hl = a1 * b0
     hh = a1 * b1
-    t = (ll >> 16) + (lh & 0xFFFF) + (hl & 0xFFFF)
-    return hh + (lh >> 16) + (hl >> 16) + (t >> 16)
+    mid = lh + hl  # may wrap: carry = (mid < lh) goes to bit 16 of hi
+    carry16 = (mid < lh).astype(_U32) << 16
+    t = (ll >> 16) + (mid & 0xFFFF)
+    return hh + carry16 + (mid >> 16) + (t >> 16)
 
 
 def _mulhi_p(m):
-    """High 32 bits of m·p, using p = P_HI·2¹⁶ + 1 (2 multiplies)."""
+    """High 32 bits of m·p, using p = P_HI·2¹⁶ + 1 (2 multiplies).
+
+    ll = m0·1 = m0 < 2¹⁶ so ll >> 16 == 0; mid = lh + hl = m0·P_HI + m1
+    < 2³¹ + 2¹⁶ never wraps uint32 — both simplifications are exact."""
     m = _u32(m)
     m0 = m & 0xFFFF
     m1 = m >> 16
-    lh = m0 * _P_HI  # a0·b1
-    hl = m1  # a1·b0, b0 == 1
+    mid = m0 * _P_HI + m1  # a0·b1 + a1·b0 (b0 == 1); < 2³¹ + 2¹⁶, no wrap
     hh = m1 * _P_HI
-    ll = m0  # a0·b0
-    t = (ll >> 16) + (lh & 0xFFFF) + (hl & 0xFFFF)
-    return hh + (lh >> 16) + (hl >> 16) + (t >> 16)
+    return hh + (mid >> 16)
 
 
 def mont_reduce(hi, lo):
-    """Montgomery reduction of a 64-bit value hi·2³² + lo; result < p."""
+    """Montgomery reduction of a 64-bit value hi·2³² + lo; result < p.
+
+    (An unsigned-min wrap-around reduction would save one op but Mosaic has
+    no vector ``arith.minui`` lowering, so cmp+select it is.)"""
     m = lo * _NP_NPRIME  # wrapping low-half multiply
     mp_hi = _mulhi_p(m)
     carry = (lo != 0).astype(_U32)
@@ -94,6 +104,28 @@ def mont_mul(a, b):
 
 def mont_sq(a):
     return mont_mul(a, a)
+
+
+def shoup_mul(x, w, w_shoup):
+    """x·w mod p for a PLAIN-form constant vector w with precomputed Shoup
+    factor w' = ⌊w·2³²/p⌋ (Harvey butterfly).  6 hardware multiplies vs
+    mont_mul's 8: q = mulhi(x, w'), r = (w·x − q·p) mod 2³² ∈ [0, 2p), then
+    one conditional subtract.  Exact for any uint32 x and w < p; multiplying
+    a Montgomery-form x by a plain constant keeps Montgomery form."""
+    x = _u32(x)
+    w = _u32(w)
+    q = mulhi(x, w_shoup)
+    # q·p mod 2³² via p = P_HI·2¹⁶ + 1
+    qp_lo = q + ((q * _P_HI) << 16)
+    r = x * w - qp_lo
+    return jnp.where(r >= _P_ARR, r - _P_ARR, r)
+
+
+def np_shoup(w: np.ndarray) -> np.ndarray:
+    """Host-side Shoup precompute: ⌊w·2³²/p⌋ for a standard-form array."""
+    return ((np.asarray(w, dtype=np.uint64) << np.uint64(32)) // np.uint64(P)).astype(
+        np.uint32
+    )
 
 
 def add(a, b):
@@ -115,6 +147,52 @@ def neg(a):
 
 def double(a):
     return add(a, a)
+
+
+#: shortest double/add/sub chains for mul_small (value -> op sequence over a
+#: running accumulator seeded with x; 'd'=double acc, 'a'=acc+=x, 's'=acc-=x)
+_SMALL_CHAINS = {
+    1: "",
+    2: "d",
+    3: "da",
+    4: "dd",
+    5: "dda",
+    6: "dad",
+    7: "ddds",
+    8: "ddd",
+    9: "ddda",
+    10: "ddad",
+    11: "ddada",  # 2, 4, 5, 10, 11
+    12: "dadd",
+    13: "dadda",
+    14: "dddsd",
+    15: "dddds",
+    16: "dddd",
+}
+
+
+def mul_small(x, m: int):
+    """x·m mod p for a small static positive integer m via a double/add/sub
+    chain — replaces a full Montgomery multiply (~26 VPU ops) with 1-5
+    modular adds (~3 ops each) for the Poseidon2 internal-diagonal family.
+    Works identically on Montgomery- or standard-form inputs (linearity)."""
+    chain = _SMALL_CHAINS.get(m)
+    if chain is None:  # fallback: generic binary chain
+        acc = x
+        for bit in bin(m)[3:]:
+            acc = double(acc)
+            if bit == "1":
+                acc = add(acc, x)
+        return acc
+    acc = x
+    for op in chain:
+        if op == "d":
+            acc = double(acc)
+        elif op == "a":
+            acc = add(acc, x)
+        else:
+            acc = sub(acc, x)
+    return acc
 
 
 def to_mont(a):

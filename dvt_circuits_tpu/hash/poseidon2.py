@@ -62,7 +62,15 @@ EXTERNAL_CONSTANTS = [
     for r in range(ROUNDS_F)
 ]
 INTERNAL_CONSTANTS = _field_stream(b"int", ROUNDS_P)
-INTERNAL_DIAG = _field_stream(b"diag", WIDTH)
+#: Internal-matrix diagonal μ: the small-integer family the Poseidon2 paper
+#: recommends for efficiency (§5.2 "choose small values for the diagonal").
+#: A multiply by μ_i is then a 1-5-step double/add chain (bb.mul_small)
+#: instead of a full Montgomery multiply — the internal rounds drop from 208
+#: mont_muls to ~0 per permutation.  Distinctness and invertibility of
+#: J + diag(μ) are asserted below; constants remain self-defined (this
+#: framework owns its transcript format — see module docstring).
+INTERNAL_DIAG = list(range(1, WIDTH + 1))
+assert len(set(INTERNAL_DIAG)) == WIDTH
 
 
 def _check_internal_matrix_invertible():
@@ -169,7 +177,6 @@ def _s_permute_py(state):
 
 _EXT_C_MONT = jnp.asarray(bb.np_to_mont(np.array(EXTERNAL_CONSTANTS, dtype=np.uint64)))
 _INT_C_MONT = jnp.asarray(bb.np_to_mont(np.array(INTERNAL_CONSTANTS, dtype=np.uint64)))
-_DIAG_MONT = jnp.asarray(bb.np_to_mont(np.array(INTERNAL_DIAG, dtype=np.uint64)))
 
 
 def _v_sbox(x):
@@ -208,7 +215,11 @@ def _v_internal_linear(state):
     total = state[..., 0]
     for i in range(1, WIDTH):
         total = bb.add(total, state[..., i])
-    return bb.add(bb.mont_mul(state, _DIAG_MONT), total[..., None])
+    diag = jnp.stack(
+        [bb.mul_small(state[..., i], INTERNAL_DIAG[i]) for i in range(WIDTH)],
+        axis=-1,
+    )
+    return bb.add(diag, total[..., None])
 
 
 import jax

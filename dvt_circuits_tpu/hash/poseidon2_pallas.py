@@ -30,7 +30,6 @@ BLOCK = 2048  # lanes per grid step (multiple of 128; swept on v5e — 512 runs
 
 _EXT_C = np.asarray(bb.np_to_mont(np.array(p2.EXTERNAL_CONSTANTS, dtype=np.uint64)))
 _INT_C = np.asarray(bb.np_to_mont(np.array(p2.INTERNAL_CONSTANTS, dtype=np.uint64)))
-_DIAG = np.asarray(bb.np_to_mont(np.array(p2.INTERNAL_DIAG, dtype=np.uint64)))
 
 
 def _sbox(x):
@@ -63,8 +62,9 @@ def _internal_linear_rows(rows):
     total = rows[0]
     for r in rows[1:]:
         total = bb.add(total, r)
+    # diag = 1..16: double/add chains (bb.mul_small) instead of mont_muls
     return [
-        bb.add(bb.mont_mul(rows[i], jnp.uint32(_DIAG[i])), total) for i in range(16)
+        bb.add(bb.mul_small(rows[i], p2.INTERNAL_DIAG[i]), total) for i in range(16)
     ]
 
 
