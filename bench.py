@@ -53,7 +53,9 @@ def section(name, budget_s):
         raise SectionTimeout(f"{name}: exceeded {budget_s:.0f}s budget")
 
     old = signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(budget_s))
+    # round up: int() truncation of a sub-second scaled budget would pass 0
+    # to alarm(), silently CANCELLING the guard (advisor r4 finding)
+    signal.alarm(max(1, int(round(budget_s))))
     t0 = time.perf_counter()
     try:
         yield

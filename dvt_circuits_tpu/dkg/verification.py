@@ -110,11 +110,15 @@ def verify_seed_exchange_commitment(
     # undecodable base pubkeys panic the guest (verification.rs:132-137 `expect`)
     cfst = [setup.Point.from_bytes(pk) for pk in initial_commitment.base_pubkeys]
 
-    # the curve relation the G1 program chip proves in-circuit (g1_air.py)
+    # the curve relation the G1 program chip proves in-circuit (g1_air.py);
+    # auth mode also commits the ECDSA credentials so the proof verifier
+    # re-runs verify_commitment from public data
     hash_recorder.record_g1_poly_check(
         bytes(shared_secret.secret),
         dest_index + 1,
         [getattr(c, "point", None) for c in cfst],
+        commit_pubkey=bytes(seed_exchange.commitment.pubkey) if auth else None,
+        commit_sig=bytes(seed_exchange.commitment.signature) if auth else None,
     )
 
     eval_result = evaluate_polynomial(cfst, dest_id, setup.Point)
@@ -208,6 +212,8 @@ def verify_generations(setup, generations: Sequence, settings: GenerateSettings,
         [getattr(setup.Point.from_bytes(g.partial_pubkey), "point", None)
          for g in sorted_gens],
         getattr(agg_key, "point", None),
+        sigs=[bytes(g.message_signature) for g in sorted_gens],
+        cleartext=sorted_gens[0].message_cleartext.encode("utf-8"),
     )
 
     computed_key = _compute_agg_key_from_dkg(setup, verification_vectors, ids)
@@ -288,7 +294,9 @@ def _compute_pubkey_share(setup, sorted_gens: Sequence, perpetrator_id):
     return setup.Point.from_bytes(expected_key.to_bytes())
 
 
-def _verify_expected_key(setup, sorted_gens, perpetrator_index: int, key) -> None:
+def _verify_expected_key(
+    setup, sorted_gens, perpetrator_index: int, key, sig_binding=None
+) -> None:
     perpetrator_id = setup.Scalar.from_u32(perpetrator_index + 1)
     expected_key = _compute_pubkey_share(setup, sorted_gens, perpetrator_id)
     try:
@@ -296,7 +304,9 @@ def _verify_expected_key(setup, sorted_gens, perpetrator_index: int, key) -> Non
     except InvalidPoint:
         raise SlashableError("Invalid point") from None
 
-    # the expected-key curve relation for the G1 chip (verification.rs:422-466)
+    # the expected-key curve relation for the G1 chip (verification.rs:422-466);
+    # sig_binding commits the already-witness-checked BLS/ECDSA credentials so
+    # the proof verifier re-runs them from public data
     hash_recorder.record_g1_partial_check(
         [
             [
@@ -307,6 +317,7 @@ def _verify_expected_key(setup, sorted_gens, perpetrator_index: int, key) -> Non
         ],
         perpetrator_index + 1,
         getattr(actual_key_point, "point", None),
+        **(sig_binding or {}),
     )
     if expected_key != actual_key_point:
         raise SlashableError(
@@ -357,4 +368,11 @@ def prove_wrong_final_key_generation(setup, data: BadPartialShareData, auth: boo
     if not key.verify_signature(data.bad_partial.data.message_cleartext.encode("utf-8"), sig):
         raise SlashableError("Invalid partial signature")
 
-    _verify_expected_key(setup, sorted_gens, perpetrator_index, key)
+    sig_binding = {
+        "msg_sig": bytes(data.bad_partial.data.message_signature),
+        "cleartext": data.bad_partial.data.message_cleartext.encode("utf-8"),
+    }
+    if auth:
+        sig_binding["commit_pubkey"] = bytes(data.bad_partial.commitment.pubkey)
+        sig_binding["commit_sig"] = bytes(data.bad_partial.commitment.signature)
+    _verify_expected_key(setup, sorted_gens, perpetrator_index, key, sig_binding)

@@ -107,7 +107,10 @@ def _phases(air: Air, log_n: int, config: StarkConfig, mesh, ax: str):
     blowup = config.blowup
     n_lde = n << config.log_blowup
     s = n_lde // d
-    assert s >= blowup and s % 1 == 0, "row block smaller than the blowup halo"
+    assert n_lde % d == 0 and s >= blowup, (
+        "LDE rows must divide evenly over the mesh axis with a block no "
+        "smaller than the blowup halo"
+    )
     width = air.width
     pre_width = air.preprocessed_width
     tables = _domain_tables(log_n, config.log_blowup, config.shift)

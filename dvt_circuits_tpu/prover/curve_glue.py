@@ -41,6 +41,7 @@ MAX_CHAIN_ROWS = 1 << 17
 
 ID_BITS = 32  # ids are bls_id_from_u32 embeds (bls_keys.rs:244-273)
 FULL_BITS = 256  # secrets and Fr scalars
+MAX_CLEARTEXT = 4096  # committed message-cleartext size cap (bytes)
 
 
 class Unprovable(ValueError):
@@ -254,12 +255,46 @@ def build_gadget(
             if seed_ref == 0:
                 raise Unprovable("no seed-exchange preimage in the SHA table")
         extras = [KIND_IDS[kind], meta["k"], seed_ref, init_ref]
+        if auth:
+            # commit the ECDSA commitment credentials: the verifier re-runs
+            # verify_commitment (verification.rs:365-374) over the SHA-proven
+            # seed-exchange digest — zero witness trust for the identity check
+            cpk, csig = rel.get("commit_pubkey"), rel.get("commit_sig")
+            if cpk is None or csig is None or len(cpk) != 33 or len(csig) != 64:
+                raise Unprovable("missing ECDSA commitment credentials")
+            extras += list(cpk) + list(csig)
     elif kind == "agg":
         n = meta["n"]
         if len(hashes) != n:
             raise Unprovable("stream hash count does not match n")
         refs = _sorted_gen_refs(sha_digests, hashes)
-        extras = [KIND_IDS[kind], n, meta["k"]] + refs
+        # Commit the sorted partial pubkeys (48B compressed each) so the
+        # verifier can bind every path-B λ-chain operand to container bytes
+        # (advisor r4 high finding: unbound operands made the second
+        # Lagrange reconstruction claim vacuous), plus the sorted BLS
+        # message signatures and the shared cleartext so the verifier
+        # re-runs every per-generation BLS verification from public data
+        # (verify_generation_hashes, verification.rs:211-260).
+        partial_bytes = b"".join(
+            g1_compress(tuple(p)) for p in rel["partials"]
+        )
+        sigs, cleartext = rel.get("sigs"), rel.get("cleartext")
+        if (
+            sigs is None
+            or cleartext is None
+            or len(sigs) != n
+            or any(len(s) != 96 for s in sigs)
+            or len(cleartext) > MAX_CLEARTEXT
+        ):
+            raise Unprovable("missing BLS signature binding data")
+        extras = (
+            [KIND_IDS[kind], n, meta["k"]]
+            + refs
+            + list(partial_bytes)
+            + list(b"".join(sigs))
+            + [len(cleartext)]
+            + list(cleartext)
+        )
     else:  # partial
         n = meta["n"]
         if len(hashes) != n:
@@ -279,12 +314,28 @@ def build_gadget(
                     break
             if pshare_ref == 0:
                 raise Unprovable("no partial-share preimage in the SHA table")
+        msg_sig, cleartext = rel.get("msg_sig"), rel.get("cleartext")
+        if (
+            msg_sig is None
+            or cleartext is None
+            or len(msg_sig) != 96
+            or len(cleartext) > MAX_CLEARTEXT
+        ):
+            raise Unprovable("missing BLS signature binding data")
         extras = (
             [KIND_IDS[kind], n, meta["k"], perp_index]
             + refs
             + [pshare_ref]
             + list(actual_bytes)
+            + list(msg_sig)
+            + [len(cleartext)]
+            + list(cleartext)
         )
+        if auth:
+            cpk, csig = rel.get("commit_pubkey"), rel.get("commit_sig")
+            if cpk is None or csig is None or len(cpk) != 33 or len(csig) != 64:
+                raise Unprovable("missing ECDSA commitment credentials")
+            extras += list(cpk) + list(csig)
 
     gadget = {
         "kind": "g1mul",
@@ -380,6 +431,8 @@ def _parse_partial_share_preimage(msg: bytes) -> Optional[dict]:
         "vv": msg[19:base],
         "base_hash": msg[base : base + 32],
         "partial_pubkey": msg[base + 32 : base + 80],
+        "cleartext": msg[base + 81 : base + 81 + clen],
+        "message_signature": msg[base + 81 + clen :],
     }
 
 
@@ -457,6 +510,39 @@ def _load_gen_vectors(sha_air, sha_publics, refs, hashes, n):
     return vvs, sorted_hashes
 
 
+def _bytes_of(extras: Sequence[int], lo: int, hi: int) -> bytes:
+    if any(not 0 <= int(v) < 256 for v in extras[lo:hi]):
+        raise GlueError("extras byte out of range")
+    return bytes(int(v) for v in extras[lo:hi])
+
+
+def _ecdsa_check(pubkey_bytes: bytes, digest: bytes, sig_bytes: bytes) -> None:
+    """Re-run verify_commitment's ECDSA (verification.rs:365-374) on
+    container-committed public data."""
+    from ..hostcrypto import secp256k1 as secp
+
+    try:
+        pk = secp.pubkey_from_bytes(pubkey_bytes)
+        sig = secp.sig_from_compact(sig_bytes)
+    except Exception:
+        raise GlueError("committed ECDSA credential does not parse") from None
+    _expect(secp.verify(pk, digest, sig), "ECDSA commitment signature invalid")
+
+
+def _bls_check(pk_point, h_point, sig_bytes: bytes) -> None:
+    """Re-run one BLS verification e(pk, H(m)) = e(g1, sig)
+    (bls_common.rs:26-40) on container-committed public data."""
+    try:
+        sig = bls.g2_from_compressed(sig_bytes)
+    except bls.InvalidPoint:
+        raise GlueError("committed BLS signature does not decompress") from None
+    _expect(sig is not None, "committed BLS signature is the identity")
+    _expect(
+        bls.pairings_equal(pk_point, h_point, G1_GEN, sig),
+        "BLS message signature invalid",
+    )
+
+
 def verify_gadget_glue(
     air,
     publics: Sequence[int],
@@ -465,16 +551,19 @@ def verify_gadget_glue(
     sha_ctx,
     auth: bool,
     circuit_name: str,
-) -> str:
+) -> Tuple[str, int]:
     """Re-derive a g1mul gadget's statement host-side and check every chip
-    public against it.  Returns the relation kind name.  Raises GlueError on
-    any mismatch.  (The chip STARK itself is verified by the caller.)"""
+    public against it.  Returns (relation kind name, number of BLS/ECDSA
+    signature verifications re-run from committed public data).  Raises
+    GlueError on any mismatch.  (The chip STARK itself is verified by the
+    caller.)"""
     import hashlib
 
     from ..stark.sha256_air import message_from_publics as _msg
 
     _expect(len(extras) >= 1, "empty g1mul extras")
     kind_id = int(extras[0])
+    sig_checks = 0
     frames = _split_frames(stream)
     hashes = _hash_frames(frames)
     if sha_ctx is None:
@@ -484,8 +573,8 @@ def verify_gadget_glue(
     if kind_id == KIND_IDS["poly"]:
         _expect(circuit_name in ("bad-share", "bad-encrypted-share"),
                 "poly relation in the wrong circuit")
-        _expect(len(extras) == 4, "poly extras malformed")
-        _, k, seed_ref, init_ref = (int(v) for v in extras)
+        _expect(len(extras) == (4 + 97 if auth else 4), "poly extras malformed")
+        _, k, seed_ref, init_ref = (int(v) for v in extras[:4])
         _expect(2 <= k <= 64, "poly k out of range")
         _expect(
             tuple(air.chain_bits) == (FULL_BITS,) + (ID_BITS,) * (k - 1),
@@ -518,6 +607,17 @@ def verify_gadget_glue(
             except ValueError:
                 raise GlueError("dst hash not among committed hashes") from None
             id_val = idx + 1
+            # Re-run verify_commitment (verification.rs:365-374) from the
+            # committed ECDSA credentials: the commitment hash equals the
+            # SHA-proven seed-exchange digest on every slashable path that
+            # reaches the curve check (hash equality is checked by the
+            # witness BEFORE evaluate_polynomial, verification.rs:90-99).
+            _ecdsa_check(
+                bytes(int(v) for v in extras[4:37]),
+                hashlib.sha256(seed_msg).digest(),
+                bytes(int(v) for v in extras[37:101]),
+            )
+            sig_checks += 1
         else:
             # no_auth: the id is committee-anchored (a valid sorted index);
             # the secret stays existential, as in the reference's own
@@ -527,15 +627,37 @@ def verify_gadget_glue(
             _expect(1 <= id_val <= len(hashes), "id outside the committee")
         _, poly = _verify_horner(air, publics, 1, pts, id_val)
         _expect(pk != poly, "relation shows a VALID share — nothing to slash")
-        return "poly"
+        return "poly", sig_checks
 
     if kind_id == KIND_IDS["agg"]:
         _expect(circuit_name == "finalization", "agg relation in the wrong circuit")
         _expect(len(extras) >= 3, "agg extras malformed")
         n, k = int(extras[1]), int(extras[2])
         _expect(2 <= n <= 64 and 1 <= k <= 64, "agg n/k out of range")
-        _expect(len(extras) == 3 + n, "agg extras malformed")
-        refs = [int(v) for v in extras[3:]]
+        base = 3 + n + 48 * n + 96 * n
+        _expect(len(extras) >= base + 1, "agg extras malformed")
+        clen = int(extras[base])
+        _expect(0 <= clen <= MAX_CLEARTEXT, "agg cleartext length")
+        _expect(len(extras) == base + 1 + clen, "agg extras malformed")
+        refs = [int(v) for v in extras[3 : 3 + n]]
+        pbytes = _bytes_of(extras, 3 + n, 3 + n + 48 * n)
+        sig_bytes = _bytes_of(extras, 3 + n + 48 * n, base)
+        cleartext = _bytes_of(extras, base + 1, base + 1 + clen)
+        partials = []
+        for i in range(n):
+            try:
+                pt = bls.g1_from_compressed(pbytes[48 * i : 48 * (i + 1)])
+            except bls.InvalidPoint:
+                raise GlueError("committed partial pubkey does not decompress") from None
+            _expect(pt is not None, "committed partial pubkey is the identity")
+            partials.append(tuple(pt))
+        # re-run verify_generation_hashes' n BLS verifications
+        # (verification.rs:211-260) on the committed partials/signatures:
+        # ONE hash-to-curve of the shared cleartext, n pairing checks
+        h_point = bls.hash_to_g2(cleartext)
+        for i in range(n):
+            _bls_check(partials[i], h_point, sig_bytes[96 * i : 96 * (i + 1)])
+            sig_checks += 1
         vvs, _sorted = _load_gen_vectors(sha_air, sha_publics, refs, hashes, n)
         _expect(len(vvs[0]) == k, "vector width ≠ k")
         try:
@@ -564,6 +686,8 @@ def verify_gadget_glue(
             sb, op, res = _chip_chain(air, publics, c)
             _expect(air.chain_bits[c] == FULL_BITS, "λ chain width")
             _expect(sb == _scalar_bytes(lam[i], FULL_BITS), "λ scalar mismatch")
+            _expect(op == partials[i],
+                    "λ operand ≠ committed partial pubkey")
             sum_b = _add(sum_b, res)
             c += 1
         _expect(c == air.num_chains, "chain count mismatch")
@@ -571,19 +695,26 @@ def verify_gadget_glue(
                 "coefficient path ≠ aggregate key")
         _expect(sum_b == (None if agg_key is None else tuple(agg_key)),
                 "partial-key path ≠ aggregate key")
-        return "agg"
+        return "agg", sig_checks
 
     if kind_id == KIND_IDS["partial"]:
         _expect(circuit_name == "bad-partial-key", "partial relation in the wrong circuit")
         _expect(len(extras) >= 4, "partial extras malformed")
         n, k, perp_index = int(extras[1]), int(extras[2]), int(extras[3])
         _expect(2 <= n <= 64 and 2 <= k <= 64, "partial n/k out of range")
-        _expect(len(extras) == 4 + n + 1 + 48, "partial extras malformed")
+        base = 4 + n + 1 + 48 + 96
+        _expect(len(extras) >= base + 1, "partial extras malformed")
+        clen = int(extras[base])
+        _expect(0 <= clen <= MAX_CLEARTEXT, "partial cleartext length")
+        _expect(
+            len(extras) == base + 1 + clen + (97 if auth else 0),
+            "partial extras malformed",
+        )
         refs = [int(v) for v in extras[4 : 4 + n]]
         pshare_ref = int(extras[4 + n])
-        if any(not 0 <= int(v) < 256 for v in extras[5 + n :]):
-            raise GlueError("accused key bytes out of range")
-        actual_bytes = bytes(int(v) for v in extras[5 + n :])
+        actual_bytes = _bytes_of(extras, 5 + n, 5 + n + 48)
+        msg_sig = _bytes_of(extras, 5 + n + 48, 5 + n + 48 + 96)
+        cleartext = _bytes_of(extras, base + 1, base + 1 + clen)
         vvs, sorted_hashes = _load_gen_vectors(
             sha_air, sha_publics, refs, hashes, n
         )
@@ -612,12 +743,28 @@ def verify_gadget_glue(
                     "accused key not bound to the commitment preimage")
             _expect(f["base_hash"] == perp_hash,
                     "perpetrator hash not bound to the commitment preimage")
+            _expect(f["cleartext"] == cleartext,
+                    "cleartext not bound to the commitment preimage")
+            _expect(f["message_signature"] == msg_sig,
+                    "message signature not bound to the commitment preimage")
+            # re-run _verify_commitment_signature (verification.rs:468-496):
+            # ECDSA over the SHA-proven partial-share commitment digest
+            _ecdsa_check(
+                _bytes_of(extras, base + 1 + clen, base + 1 + clen + 33),
+                hashlib.sha256(pmsg).digest(),
+                _bytes_of(extras, base + 1 + clen + 33, base + 1 + clen + 97),
+            )
+            sig_checks += 1
+        # re-run the perpetrator's BLS message-signature check
+        # (verification.rs:447) on committed public data
+        _bls_check(tuple(actual), bls.hash_to_g2(cleartext), msg_sig)
+        sig_checks += 1
         avec = agg_vectors([[tuple(p) for p in vv] for vv in vvs])
         _expect(all(p is not None for p in avec), "aggregated vector has ∞")
         c, expected = _verify_horner(air, publics, 0, avec, perp_index + 1)
         _expect(c == air.num_chains, "chain count mismatch")
         _expect(expected != tuple(actual),
                 "expected key matches — nothing to slash")
-        return "partial"
+        return "partial", sig_checks
 
     raise GlueError(f"unknown g1mul relation kind {kind_id}")

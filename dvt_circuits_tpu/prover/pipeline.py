@@ -113,13 +113,29 @@ class VerifyResult:
       * ``"hash-bound"``         — no curve relation was carried (either
         the witness faulted before the curve check, or relations were
         omitted — see ``g1_omitted``); the SHA/stream bindings still hold.
+
+    ``sig_checks`` counts the BLS/ECDSA signature verifications the
+    verifier re-ran itself from container-committed public data
+    (verify_generation_hashes' n pairing checks, verify_commitment's
+    ECDSA, the perpetrator message-signature check) — those checks carry
+    ZERO witness trust; a ``+sig`` suffix on ``binding`` marks it.  The
+    remaining witness-trust surface is the encrypted-share ECDH (the
+    receiver's secp secret key is private by design).
     """
 
-    def __init__(self, circuit: str, binding: str, g1_relations: int, g1_omitted: int):
+    def __init__(
+        self,
+        circuit: str,
+        binding: str,
+        g1_relations: int,
+        g1_omitted: int,
+        sig_checks: int = 0,
+    ):
         self.circuit = circuit
         self.binding = binding
         self.g1_relations = g1_relations
         self.g1_omitted = g1_omitted
+        self.sig_checks = sig_checks
 
     def __bool__(self) -> bool:
         return True
@@ -127,7 +143,8 @@ class VerifyResult:
     def __repr__(self) -> str:
         return (
             f"VerifyResult(circuit={self.circuit!r}, binding={self.binding!r}, "
-            f"g1_relations={self.g1_relations}, g1_omitted={self.g1_omitted})"
+            f"g1_relations={self.g1_relations}, g1_omitted={self.g1_omitted}, "
+            f"sig_checks={self.sig_checks})"
         )
 
 
@@ -496,6 +513,7 @@ def verify_proof(
 
     challenger = DuplexChallenger()
     g1_relations = 0
+    sig_checks = 0
     try:
         stark_verify(air, container["stark"], publics, config, challenger)
         sha_ctx = None
@@ -507,7 +525,7 @@ def verify_proof(
                 _verify_g1_gadget(entry, stream, sha_ctx, config, challenger, auth, name)
                 g1_relations += 1
             elif kind == "g1mul":
-                _verify_g1mul_gadget(
+                sig_checks += _verify_g1mul_gadget(
                     entry, stream, sha_ctx, config, challenger, auth, name
                 )
                 g1_relations += 1
@@ -523,21 +541,27 @@ def verify_proof(
     g1_omitted = int(container.get("g1_omitted", 0))
     if g1_relations and g1_omitted == 0:
         binding = "curve-bound" if auth else "curve-bound-noauth"
+        if sig_checks:
+            binding += "+sig"
     else:
         binding = "hash-bound"
-    if strict and name in ("bad-share", "bad-encrypted-share"):
+    if strict:
         if g1_omitted:
             raise VerifyError(
                 f"strict: {g1_omitted} curve relation(s) omitted from the proof"
             )
-        if name == "bad-share" and g1_relations == 0:
+        if name in ("bad-share", "finalization", "bad-partial-key") and (
+            g1_relations == 0
+        ):
             # bad-encrypted-share's only exit-0 path is parse failure
             # (main.rs:404 fall-through), which records no curve relation;
-            # bad-share's slashable outcomes may also fault at the hash
-            # level before the curve check, but strict callers asked for
-            # in-circuit curve evidence, so absence is rejected.
+            # every other circuit's accepting run reaches its curve check
+            # (bad-share/bad-partial-key slashable outcomes may fault at
+            # the hash level first, but strict callers asked for in-circuit
+            # curve evidence, so absence is rejected — advisor r4 finding 2
+            # extends this to finalization and bad-partial-key).
             raise VerifyError("strict: proof carries no curve-relation table")
-    return VerifyResult(name, binding, g1_relations, g1_omitted)
+    return VerifyResult(name, binding, g1_relations, g1_omitted, sig_checks)
 
 
 def _verify_sha_gadget(
@@ -766,13 +790,14 @@ def _verify_g1mul_gadget(
     challenger: DuplexChallenger,
     auth: bool,
     circuit_name: str,
-) -> None:
+) -> int:
     """Verify a tall-chip curve-relation gadget (stark/g1mul_air.py).
 
     The chip STARK proves the scalar-mul chains; ``curve_glue``
     re-derives the DKG statement host-side (Horner recombination, column
     sums, Lagrange coefficients, sorted-id assignment, SHA-preimage and
-    stream bindings) and checks every chip public against it."""
+    stream bindings) and checks every chip public against it.  Returns the
+    number of BLS/ECDSA signature checks re-run from committed data."""
     from ..stark.g1mul_air import G1MulAir
     from . import curve_glue
 
@@ -791,7 +816,7 @@ def _verify_g1mul_gadget(
         raise VerifyError(f"g1mul publics: {e}") from None
     stark_verify(air, entry["proof"], publics, config, challenger)
     try:
-        curve_glue.verify_gadget_glue(
+        _, sig_checks = curve_glue.verify_gadget_glue(
             air,
             publics,
             [int(v) for v in entry.get("extras", [])],
@@ -802,6 +827,7 @@ def _verify_g1mul_gadget(
         )
     except curve_glue.GlueError as e:
         raise VerifyError(f"g1mul binding: {e}") from None
+    return sig_checks
 
 
 def _verify_chacha_gadget(

@@ -52,11 +52,16 @@ def git_provenance() -> Tuple[str, List[str]]:
 
 
 def print_banner() -> None:
-    """Startup banner (reference src/main.rs:406-419)."""
+    """Startup banner (reference src/main.rs:406-419).
+
+    Printed to STDERR so machine-parsed stdout (get-schema /
+    validate-schema consumers) stays clean by default (advisor r4)."""
+    import sys
+
     commit, dirty = git_provenance()
-    print(f"🔗 Commit Hash: {commit}")
+    print(f"🔗 Commit Hash: {commit}", file=sys.stderr)
     if dirty:
-        print("\x1b[1;33m⚠️ WARNING:Uncommitted Changes\x1b[0m")
-        print(f"📂 Uncommitted Files in ./{_SOURCE_PREFIX}:")
+        print("\x1b[1;33m⚠️ WARNING:Uncommitted Changes\x1b[0m", file=sys.stderr)
+        print(f"📂 Uncommitted Files in ./{_SOURCE_PREFIX}:", file=sys.stderr)
         for f in dirty:
-            print(f"  📄 {f}")
+            print(f"  📄 {f}", file=sys.stderr)

@@ -50,21 +50,22 @@ def _glue_roundtrip(circuit, data, auth):
         gadget, (air, trace, publics) = curve_glue.build_gadget(
             rel, originals, digests, res.public_values, auth
         )
-        kind = curve_glue.verify_gadget_glue(
+        kind, sig_checks = curve_glue.verify_gadget_glue(
             air, publics, gadget["extras"], res.public_values, sha_ctx,
             auth, circuit,
         )
-        out.append((rel, gadget, air, publics, res, sha_ctx, kind))
+        out.append((rel, gadget, air, publics, res, sha_ctx, kind, sig_checks))
     return out
 
 
 @pytest.mark.parametrize("auth", [True, False])
 def test_poly_glue_roundtrip(auth):
     data = DkgCommittee(3, 2).shared_data_bad_secret(0, 1, auth)
-    (rel, gadget, air, publics, res, sha_ctx, kind), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, kind, sig_checks), = _glue_roundtrip(
         "bad-share", data, auth
     )
     assert kind == "poly"
+    assert sig_checks == (1 if auth else 0)  # verify_commitment ECDSA re-run
     assert air.chain_bits == (256, 32)
     # chain 0 proves sk·G, the Horner chain id·C_1
     assert air.operand_of(publics, 0) == host.G1_GEN
@@ -73,10 +74,11 @@ def test_poly_glue_roundtrip(auth):
 @pytest.mark.parametrize("auth", [True, False])
 def test_agg_glue_roundtrip(auth):
     data = DkgCommittee(3, 2).finalization_data()
-    (rel, gadget, air, publics, res, sha_ctx, kind), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, kind, sig_checks), = _glue_roundtrip(
         "finalization", data, auth
     )
     assert kind == "agg"
+    assert sig_checks == 3  # n per-generation BLS verifies re-run
     # n=3, k=2: 3 Horner chains (32-bit) + 2·3 Lagrange chains (256-bit)
     assert air.chain_bits == (32,) * 3 + (256,) * 6
 
@@ -84,16 +86,18 @@ def test_agg_glue_roundtrip(auth):
 @pytest.mark.parametrize("auth", [True, False])
 def test_partial_glue_roundtrip(auth):
     data = DkgCommittee(3, 2).bad_partial_key_data(1, auth)
-    (rel, gadget, air, publics, res, sha_ctx, kind), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, kind, sig_checks), = _glue_roundtrip(
         "bad-partial-key", data, auth
     )
     assert kind == "partial"
+    # perpetrator BLS sig always; + commitment ECDSA in auth mode
+    assert sig_checks == (2 if auth else 1)
     assert air.chain_bits == (32,)
 
 
 def test_poly_glue_rejects_wrong_scalar():
     data = DkgCommittee(3, 2).shared_data_bad_secret(0, 1, True)
-    (rel, gadget, air, publics, res, sha_ctx, _), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, _, _), = _glue_roundtrip(
         "bad-share", data, True
     )
     bad = list(publics)
@@ -107,7 +111,7 @@ def test_poly_glue_rejects_wrong_scalar():
 
 def test_agg_glue_rejects_wrong_aggregate():
     data = DkgCommittee(3, 2).finalization_data()
-    (rel, gadget, air, publics, res, sha_ctx, _), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, _, _), = _glue_roundtrip(
         "finalization", data, True
     )
     # tamper the committed aggregate key frame → both Lagrange sums mismatch
@@ -122,7 +126,7 @@ def test_agg_glue_rejects_wrong_aggregate():
 
 def test_partial_glue_enforces_last_match_and_binding():
     data = DkgCommittee(3, 2).bad_partial_key_data(1, True)
-    (rel, gadget, air, publics, res, sha_ctx, _), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, _, _), = _glue_roundtrip(
         "bad-partial-key", data, True
     )
     # point the perpetrator index at a different generation → preimage
@@ -140,7 +144,7 @@ def test_scaled_committee_bad_share_fully_carried():
     """n=16, k=8: every relation carriable, nothing silently degraded
     (VERDICT r3 item 3 done-criterion at generator scale)."""
     data = DkgCommittee(16, 8).shared_data_bad_secret(3, 7, True)
-    (rel, gadget, air, publics, res, sha_ctx, kind), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, kind, sig_checks), = _glue_roundtrip(
         "bad-share", data, True
     )
     assert kind == "poly"
@@ -149,7 +153,7 @@ def test_scaled_committee_bad_share_fully_carried():
 
 def test_scaled_committee_partial_key_fully_carried():
     data = DkgCommittee(8, 3).bad_partial_key_data(5, True)
-    (rel, gadget, air, publics, res, sha_ctx, kind), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, kind, sig_checks), = _glue_roundtrip(
         "bad-partial-key", data, True
     )
     assert kind == "partial"
@@ -158,7 +162,7 @@ def test_scaled_committee_partial_key_fully_carried():
 
 def test_scaled_committee_finalization_fully_carried():
     data = DkgCommittee(4, 2).finalization_data()
-    (rel, gadget, air, publics, res, sha_ctx, kind), = _glue_roundtrip(
+    (rel, gadget, air, publics, res, sha_ctx, kind, sig_checks), = _glue_roundtrip(
         "finalization", data, True
     )
     assert kind == "agg"
@@ -209,7 +213,8 @@ def test_finalization_container_roundtrip_host_prover():
         data = DkgCommittee(3, 2).finalization_data()
         container = prove_circuit("finalization", data, True, TEST_CONFIG)
         res = verify_proof(container, strict=False)
-        assert res.binding == "curve-bound" and res.g1_relations == 1
+        assert res.binding == "curve-bound+sig" and res.g1_relations == 1
+        assert res.sig_checks == 3  # n BLS verifies re-run by the verifier
         assert container["g1_omitted"] == 0
     finally:
         os.environ.pop("DVT_PROVER", None)

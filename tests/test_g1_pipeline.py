@@ -55,20 +55,22 @@ def test_badshare_auth_proof_carries_g1mul_gadget(container_auth):
     kinds = [g["kind"] for g in container["gadgets"]]
     assert "g1mul" in kinds, kinds
     entry = next(g for g in container["gadgets"] if g["kind"] == "g1mul")
-    kind_id, k, seed_ref, init_ref = entry["extras"]
+    kind_id, k, seed_ref, init_ref = entry["extras"][:4]
     assert kind_id == 1 and k == 2  # "poly" relation at threshold 2
+    assert len(entry["extras"]) == 4 + 97  # + ECDSA commitment credentials
     assert entry["block_counts"] == [256, 32]  # sk·G chain + one Horner chain
     assert init_ref > 0  # C_j bound to the initial-commitment preimage
     assert seed_ref > 0  # sk/id anchored via the seed-exchange preimage
     assert container["g1_omitted"] == 0
     result = verify_proof(container, strict=True)
-    assert result.binding == "curve-bound" and result.g1_relations == 1
+    assert result.binding == "curve-bound+sig" and result.g1_relations == 1
+    assert result.sig_checks == 1  # verify_commitment ECDSA re-run
 
 
 def test_badshare_noauth_proof_carries_g1mul_gadget():
     container = prove_circuit("bad-share", _load(False), False, TEST_CONFIG)
     entry = next(g for g in container["gadgets"] if g["kind"] == "g1mul")
-    kind_id, k, seed_ref, init_ref = entry["extras"]
+    kind_id, k, seed_ref, init_ref = entry["extras"][:4]
     assert init_ref > 0
     assert seed_ref == 0  # no hash anchor without auth_commitment
     result = verify_proof(container, strict=True)

@@ -66,4 +66,4 @@ def test_curve_relation_smoke():
     data = DkgCommittee(3, 2).shared_data_bad_secret(0, 1, True)
     container = prove_circuit("bad-share", data, True, TEST_CONFIG)
     res = verify_proof(container, strict=True)
-    assert res.binding == "curve-bound" and res.g1_relations == 1
+    assert res.binding == "curve-bound+sig" and res.g1_relations == 1
