@@ -9,8 +9,9 @@ PY ?= python
 # be rebuilt once per worker.  Full-size proving suites live behind
 # DVT_HEAVY_TESTS (`make heavy-test`); the default path still includes a
 # REAL container prove/verify smoke via the numpy host prover
-# (tests/test_pipeline_smoke.py — no XLA compile).  Measured wall: ~10 min
-# on this 2-core host (XLA CPU compile-bound), minutes on a many-core box.
+# (tests/test_pipeline_smoke.py — no XLA compile), and AIR-logic STARK
+# suites route through the bit-identical host prover (DVT_PROVER=host
+# module fixtures) so the default run is not XLA-CPU-compile-bound.
 test:
 	$(PY) -m pytest tests/ -q -n auto --dist loadfile
 

@@ -162,36 +162,61 @@ def main():
     )
 
     # --- NTT throughput ----------------------------------------------------
-    with section("ntt", 120):
+    # Dispatch-amortized (VERDICT r4 item 1): the axon tunnel costs ~2 ms
+    # per dispatch, swamping a 0.25 ms kernel — so the bench measures a
+    # fori_loop of K data-DEPENDENT transforms over a 16-column batch
+    # inside ONE jit call (chained NTTs cannot be fused away; linearity is
+    # not exploited by XLA).  Fence soundness is self-checked: doubling K
+    # must ~double wall time, which a broken fence (r02) fails.
+    with section("ntt", 180):
         log_n = 20
-        x = bb.to_mont(
+        ncols = 16
+        xb = bb.to_mont(
             jnp.asarray(
-                rng.integers(0, bb.P, size=(1 << log_n,), dtype=np.uint32)
+                rng.integers(0, bb.P, size=(ncols, 1 << log_n), dtype=np.uint32)
             )
         )
-        ntt_fn = jax.jit(lambda v: ntt(v))
-        t_ntt = _bench(ntt_fn, x, min_time=0.1, reps=7)
+
+        def chain(k):
+            return jax.jit(
+                lambda v: jax.lax.fori_loop(
+                    0, k, lambda i, a: ntt(a, axis=-1), v
+                )
+            )
+
+        t4 = _bench(chain(4), xb, min_time=0.1, reps=5)
+        t8 = _bench(chain(8), xb, min_time=0.1, reps=7)
+        ratio = t8 / t4
+        t_ntt = t8 / 8 / ncols  # per single 2^20 transform
         elems_per_s = (1 << log_n) / t_ntt
-        # roofline: HBM-bound — each of ~2·(log_n/2)+4 stage passes streams
-        # every element (read+write, 4B each) at ~819 GB/s (v5e)
+        # roofline: the r04 ruler — HBM streaming model of a radix-2 NTT,
+        # ~(log_n+4) passes × 8 B/element at ~819 GB/s (v5e).  The kernel
+        # now does FEWER passes than that model (fused-radix-4 halves the
+        # stage count, Shoup multiplication cuts the twiddle muls), so
+        # >100% of this radix-2 ruler is genuine algorithmic headroom, not
+        # fence error — the K-doubling check above guards the fence.
         NTT_ROOFLINE = 819e9 / (8 * (log_n + 4))
         print(
-            f"# ntt 2^{log_n}: {t_ntt*1e3:.2f} ms, {elems_per_s:.3e} elem/s "
-            f"({elems_per_s/NTT_ROOFLINE:.2%} of roofline est)",
+            f"# ntt 2^{log_n}: {t_ntt*1e3:.3f} ms, {elems_per_s:.3e} elem/s "
+            f"({elems_per_s/NTT_ROOFLINE:.2%} of radix-2 streaming roofline; "
+            f"radix-4+Shoup kernel, x{ncols} batch, 8-deep in-graph chain; "
+            f"fence check t8/t4 = {ratio:.2f}, expect ~2.0)",
             file=sys.stderr,
         )
 
     # --- Merkle commit throughput ------------------------------------------
     with section("merkle", 120):
+        # 2^20 leaves per dispatch (16x the r04 size) so the ~2 ms tunnel
+        # dispatch is <2% of the measurement
         mat = bb.to_mont(
             jnp.asarray(
-                rng.integers(0, bb.P, size=(1 << 16, 8), dtype=np.uint32)
+                rng.integers(0, bb.P, size=(1 << 20, 8), dtype=np.uint32)
             )
         )
         t_mk = _bench(lambda m: build_levels(m)[-1], mat)
         print(
-            f"# merkle 2^16 leaves: {t_mk*1e3:.2f} ms, "
-            f"{(1 << 16)/t_mk:.3e} leaves/s",
+            f"# merkle 2^20 leaves: {t_mk*1e3:.2f} ms, "
+            f"{(1 << 20)/t_mk:.3e} leaves/s",
             file=sys.stderr,
         )
 
@@ -213,18 +238,21 @@ def main():
         )
 
     # --- Keccak-256 permutation throughput ----------------------------------
+    # Pallas kernel (state VMEM-resident across all 24 rounds); wired into
+    # the product as the CLI's proof-artifact fingerprint (Ethereum-style
+    # keccak256 of the container, cli.py verify/prove output).  Reported as
+    # plain throughput: the workload is shift-dominated and v5e lowers
+    # uint32 shifts multi-op, so an op-count roofline would be guesswork.
     with section("keccak", 120):
         from dvt_circuits_tpu.hash.keccak import keccak_f1600 as _kf
 
-        kb = 1 << 15
+        kb = 1 << 18
         lo = jnp.asarray(rng.integers(0, 1 << 32, size=(kb, 25), dtype=np.uint32))
         hi = jnp.asarray(rng.integers(0, 1 << 32, size=(kb, 25), dtype=np.uint32))
-        t_k = _bench(jax.jit(_kf), lo, hi, min_time=0.1)
-        # roofline: 24 rounds × ~150 int32 ops / lane-pair ≈ 7.2k ops/perm
-        K_ROOFLINE = 4e12 / 7.2e3
+        t_k = _bench(lambda a, b: _kf(a, b)[0], lo, hi, min_time=0.1)
         print(
-            f"# keccak-f1600: {kb/t_k:.3e} perm/s ({t_k*1e3:.2f} ms/batch, "
-            f"{kb/t_k/K_ROOFLINE:.2%} of roofline est)",
+            f"# keccak-f1600 (pallas): {kb/t_k:.3e} perm/s "
+            f"({t_k*1e3:.2f} ms per 2^18 batch)",
             file=sys.stderr,
         )
 

@@ -48,6 +48,21 @@ class CliError(RuntimeError):
     pass
 
 
+def _artifact_fingerprint(path: str) -> str:
+    """keccak256(sha256(artifact)) fingerprint of a proof file (the
+    TPU-batched Keccak kernel, hash/keccak.py) — printed on prove and on
+    ``verify --show-report`` so operators can pin artifacts.  The inner
+    SHA-256 keeps the Keccak input a single sponge block, so the kernel
+    compiles once regardless of artifact size."""
+    import hashlib
+
+    from .hash.keccak import keccak256_batch
+
+    with open(path, "rb") as f:
+        inner = hashlib.sha256(f.read()).digest()
+    return keccak256_batch([inner])[0].hex()
+
+
 def _read_json(path: str):
     if not os.path.exists(path):
         raise CliError(f"File not found: {path}")
@@ -187,6 +202,7 @@ def run(argv=None) -> int:
             path = args.output_file_path or f"{args.input_file}_proof.bin"
             save_proof(container, path)
             print(_style_success("Proof saved to:"), path)
+            print(f"Artifact keccak256: {_artifact_fingerprint(path)}")
             return 0
 
         if args.command == "verify":
@@ -207,9 +223,11 @@ def run(argv=None) -> int:
                     f"binding: {result.binding}, "
                     f"curve relations: {result.g1_relations} "
                     f"(omitted: {result.g1_omitted}), "
+                    f"signature checks re-run: {result.sig_checks}, "
                     f"public values: {len(container['public_values']) // 2} bytes, "
                     f"timing: {container.get('timing')}"
                 )
+                print(f"artifact keccak256: {_artifact_fingerprint(args.proof_file)}")
             print(_style_success("Proof verified."))
             return 0
 

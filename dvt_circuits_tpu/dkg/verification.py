@@ -156,6 +156,22 @@ def _compute_agg_key_from_dkg(setup, verification_vectors, ids):
     return lagrange_interpolation(coefficients, ids)
 
 
+def _batch_verify_mapping(setup, parsed, mapping) -> bool:
+    """One pairing pair for all n (pk, sig) over the shared mapping when the
+    target cryptography exposes raw curve points (BLS); False forces the
+    caller's per-signature path (also the attribution fallback)."""
+    from ..hostcrypto import bls12_381 as _b
+
+    try:
+        pks = [p.point for p, _ in parsed]
+        sigs = [s.point for _, s in parsed]
+        if not (isinstance(mapping, tuple) and len(mapping) == 2):
+            return False
+    except AttributeError:
+        return False
+    return _b.bls_batch_verify_precomputed_hash(pks, sigs, mapping)
+
+
 def verify_generation_hashes(setup, generations: Sequence, settings: GenerateSettings) -> None:
     """verification.rs:211-260."""
     if len(generations) == 0:
@@ -169,11 +185,24 @@ def verify_generation_hashes(setup, generations: Sequence, settings: GenerateSet
         generations[0].message_cleartext.encode("utf-8")
     )
 
+    # one batched pairing check for all n signatures (bilinearity over the
+    # shared H — hostcrypto.bls_batch_verify_precomputed_hash); on failure,
+    # fall back per-signature so the error names the offending generation
+    # exactly as the reference does (verification.rs:236-243)
+    parsed = []
     for generation in generations:
-        signature = setup.DkgSignature.from_bytes(generation.message_signature)
-        key = setup.DkgPubkey.from_bytes(generation.partial_pubkey)
+        parsed.append(
+            (
+                setup.DkgPubkey.from_bytes(generation.partial_pubkey),
+                setup.DkgSignature.from_bytes(generation.message_signature),
+            )
+        )
+    batched_ok = _batch_verify_mapping(setup, parsed, mapping)
 
-        if not key.verify_signature_from_precomputed_mapping(mapping, signature):
+    for generation, (key, signature) in zip(generations, parsed):
+        if not batched_ok and not key.verify_signature_from_precomputed_mapping(
+            mapping, signature
+        ):
             raise UnslashableError(
                 f"Invalid signature {generation.message_signature.hex()}"
             )

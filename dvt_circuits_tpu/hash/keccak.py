@@ -64,16 +64,20 @@ _RC_HI = jnp.asarray(np.array([rc >> 32 for rc in _RC], dtype=np.uint32))
 
 
 def _round(lo, hi, rc_lo, rc_hi):
+    """One round on TRANSPOSED state: lo/hi are (25, ...) — each Keccak
+    word is a leading-axis row whose batch rides the VPU lanes.  (The old
+    (..., 25) layout put the 25 words on the 128-wide minor axis: every
+    word extraction was a strided lane shuffle, measured ~25× slower.)"""
     # θ
-    clo = [lo[..., x] ^ lo[..., x + 5] ^ lo[..., x + 10] ^ lo[..., x + 15] ^ lo[..., x + 20] for x in range(5)]
-    chi_ = [hi[..., x] ^ hi[..., x + 5] ^ hi[..., x + 10] ^ hi[..., x + 15] ^ hi[..., x + 20] for x in range(5)]
+    clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20] for x in range(5)]
+    chi_ = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20] for x in range(5)]
     dlo, dhi = [], []
     for x in range(5):
         rl, rh = _rotl64(clo[(x + 1) % 5], chi_[(x + 1) % 5], 1)
         dlo.append(clo[(x - 1) % 5] ^ rl)
         dhi.append(chi_[(x - 1) % 5] ^ rh)
-    alo = [lo[..., i] ^ dlo[i % 5] for i in range(25)]
-    ahi = [hi[..., i] ^ dhi[i % 5] for i in range(25)]
+    alo = [lo[i] ^ dlo[i % 5] for i in range(25)]
+    ahi = [hi[i] ^ dhi[i % 5] for i in range(25)]
     # ρ then π
     blo, bhi = [None] * 25, [None] * 25
     for dst in range(25):
@@ -92,20 +96,88 @@ def _round(lo, hi, rc_lo, rc_hi):
     # ι
     olo[0] = olo[0] ^ rc_lo
     ohi[0] = ohi[0] ^ rc_hi
-    return jnp.stack(olo, axis=-1), jnp.stack(ohi, axis=-1)
+    return jnp.stack(olo, axis=0), jnp.stack(ohi, axis=0)
+
+
+_KECCAK_BLOCK = 1024  # lanes per Pallas grid step
+
+
+def _pallas_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    """All 24 rounds VMEM-resident on a (25, BLOCK) tile pair — the XLA
+    fori_loop path round-trips the 50-row state through HBM every round
+    (measured 13× slower than speed-of-light); this keeps it on-chip."""
+    lo = [lo_ref[i, :] for i in range(25)]
+    hi = [hi_ref[i, :] for i in range(25)]
+    for r in range(24):
+        lo, hi = _round(lo, hi, jnp.uint32(_RC[r] & 0xFFFFFFFF), jnp.uint32(_RC[r] >> 32))
+        lo = [lo[i] for i in range(25)]
+        hi = [hi[i] for i in range(25)]
+    for i in range(25):
+        out_lo_ref[i, :] = lo[i]
+        out_hi_ref[i, :] = hi[i]
+
+
+@jax.jit
+def _keccak_pallas(lo_t, hi_t):
+    """(25, N) transposed permutation via Pallas; N % _KECCAK_BLOCK == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = lo_t.shape[1]
+    grid = (n // _KECCAK_BLOCK,)
+    spec = pl.BlockSpec(
+        (25, _KECCAK_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _pallas_kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(lo_t.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(hi_t.shape, jnp.uint32),
+        ),
+    )(lo_t, hi_t)
+
+
+@jax.jit
+def _keccak_xla(lo_t, hi_t):
+    """(25, N) transposed permutation via plain XLA (fori_loop over rounds)
+    — the non-TPU path (the Pallas interpreter is orders of magnitude too
+    slow for the unrolled 24-round kernel)."""
+
+    def body(r, carry):
+        lo, hi = _round(list(carry[0]), list(carry[1]), _RC_LO[r], _RC_HI[r])
+        return lo, hi
+
+    lo_t, hi_t = jax.lax.fori_loop(0, 24, body, (lo_t, hi_t))
+    return lo_t, hi_t
 
 
 @jax.jit
 def keccak_f1600(lo, hi):
     """Batched permutation on (..., 25) lo/hi uint32 lane arrays.
 
-    Rounds run under ``fori_loop`` (round constants gathered per iteration)
-    so the traced graph is one round body — XLA compile time stays flat."""
-
-    def body(r, carry):
-        return _round(*carry, _RC_LO[r], _RC_HI[r])
-
-    return jax.lax.fori_loop(0, 24, body, (lo, hi))
+    Internally transposed to (25, batch) so the batch rides the VPU lanes;
+    on TPU the rounds run in a Pallas kernel with the state VMEM-resident
+    (``_pallas_kernel``), lane-padded to the block size."""
+    shape = lo.shape
+    lo_t = jnp.moveaxis(lo, -1, 0).reshape(25, -1)
+    hi_t = jnp.moveaxis(hi, -1, 0).reshape(25, -1)
+    n = lo_t.shape[1]
+    if jax.default_backend() != "tpu":
+        lo_t, hi_t = _keccak_xla(lo_t, hi_t)
+    else:
+        pad = (-n) % _KECCAK_BLOCK
+        if pad:
+            lo_t = jnp.pad(lo_t, ((0, 0), (0, pad)))
+            hi_t = jnp.pad(hi_t, ((0, 0), (0, pad)))
+        lo_t, hi_t = _keccak_pallas(lo_t, hi_t)
+        lo_t = lo_t[:, :n]
+        hi_t = hi_t[:, :n]
+    lo_t = lo_t.reshape((25,) + shape[:-1])
+    hi_t = hi_t.reshape((25,) + shape[:-1])
+    return jnp.moveaxis(lo_t, 0, -1), jnp.moveaxis(hi_t, 0, -1)
 
 
 def _pack(messages, domain_byte: int):

@@ -749,6 +749,33 @@ def bls_verify(pubkey, signature, message: bytes) -> bool:
     return bls_verify_precomputed_hash(pubkey, signature, hash_to_g2(message))
 
 
+def bls_batch_verify_precomputed_hash(pubkeys, signatures, hashed_msg) -> bool:
+    """Batch-verify n signatures over the SAME message hash with ONE
+    pairing-equality check (random-linear-combination batching):
+
+        e(Σ rᵢ·pkᵢ, H) · e(−g1, Σ rᵢ·sigᵢ) = 1   with fresh 128-bit rᵢ
+
+    Bilinearity over the shared H collapses the n checks; a forgery
+    passes with probability ≤ 2⁻¹²⁸.  Cost: n G1 + n G2 scalar-muls
+    (native, ~1 ms each) + one pairing pair (~34 ms) vs n pairing pairs.
+    Callers needing per-signature attribution fall back to
+    ``bls_verify_precomputed_hash`` on failure."""
+    import secrets
+
+    assert len(pubkeys) == len(signatures)
+    if not pubkeys:
+        return True
+    if len(pubkeys) == 1:
+        return bls_verify_precomputed_hash(pubkeys[0], signatures[0], hashed_msg)
+    agg_pk = None
+    agg_sig = None
+    for pk, sig in zip(pubkeys, signatures):
+        r = secrets.randbits(128) | (1 << 127)
+        agg_pk = g1_add(agg_pk, g1_mul(pk, r) if pk is not None else None)
+        agg_sig = g2_add(agg_sig, g2_mul(sig, r) if sig is not None else None)
+    return pairings_equal(agg_pk, hashed_msg, G1_GEN, agg_sig)
+
+
 # ---------------------------------------------------------------------------
 # Hash-to-curve: BLS12381G2_XMD:SHA-256_SSWU_RO_ (RFC 9380)
 # DST fixed by the reference: bls_common.rs:12.

@@ -653,11 +653,26 @@ def verify_gadget_glue(
             partials.append(tuple(pt))
         # re-run verify_generation_hashes' n BLS verifications
         # (verification.rs:211-260) on the committed partials/signatures:
-        # ONE hash-to-curve of the shared cleartext, n pairing checks
+        # ONE hash-to-curve of the shared cleartext + ONE batched pairing
+        # check (random-linear-combination, bls_batch_verify_precomputed_hash);
+        # per-signature fallback on failure for an exact error
         h_point = bls.hash_to_g2(cleartext)
+        sig_pts = []
         for i in range(n):
-            _bls_check(partials[i], h_point, sig_bytes[96 * i : 96 * (i + 1)])
-            sig_checks += 1
+            sb = sig_bytes[96 * i : 96 * (i + 1)]
+            try:
+                sp = bls.g2_from_compressed(sb)
+            except bls.InvalidPoint:
+                raise GlueError("committed BLS signature does not decompress") from None
+            _expect(sp is not None, "committed BLS signature is the identity")
+            sig_pts.append(tuple(sp))
+        if not bls.bls_batch_verify_precomputed_hash(partials, sig_pts, h_point):
+            for i in range(n):
+                _expect(
+                    bls.pairings_equal(partials[i], h_point, G1_GEN, sig_pts[i]),
+                    f"BLS message signature {i} invalid",
+                )
+        sig_checks += n
         vvs, _sorted = _load_gen_vectors(sha_air, sha_publics, refs, hashes, n)
         _expect(len(vvs[0]) == k, "vector width ≠ k")
         try:

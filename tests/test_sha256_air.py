@@ -18,6 +18,17 @@ from dvt_circuits_tpu.stark.sha256_air import (
     pad_message,
 )
 
+# STARK prove/verify round-trips here test AIR/constraint LOGIC, not the
+# device backend — route them through the bit-identical numpy host prover
+# (no XLA compile; the device path is covered by test_pcs/test_parallel/
+# test_dist_stark and the heavy suites).
+@pytest.fixture(scope="module", autouse=True)
+def _host_prover():
+    mp = pytest.MonkeyPatch()
+    mp.setenv("DVT_PROVER", "host")
+    yield
+    mp.undo()
+
 
 def _publics_for(data: bytes):
     padded = pad_message(data)

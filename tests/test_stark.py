@@ -9,6 +9,17 @@ from dvt_circuits_tpu.stark import StarkError, prove, verify
 from dvt_circuits_tpu.stark.airs import FibonacciAir, MulChainAir
 from dvt_circuits_tpu.stark.config import TEST_CONFIG
 
+# STARK prove/verify round-trips here test AIR/constraint LOGIC, not the
+# device backend — route them through the bit-identical numpy host prover
+# (no XLA compile; the device path is covered by test_pcs/test_parallel/
+# test_dist_stark and the heavy suites).
+@pytest.fixture(scope="module", autouse=True)
+def _host_prover():
+    mp = pytest.MonkeyPatch()
+    mp.setenv("DVT_PROVER", "host")
+    yield
+    mp.undo()
+
 
 @pytest.fixture(scope="module")
 def fib_proof():
