@@ -98,7 +98,17 @@ def _top_specs(d: int):
 
 
 def _phases(air: Air, log_n: int, config: StarkConfig, mesh, ax: str):
-    key = (air.cache_key(), log_n, config, tuple(mesh.shape.items()), ax)
+    # device IDENTITY is part of the key: under EP, same-shaped tables run
+    # on different device groups, and a shape-only key would hand table B
+    # phase functions bound to table A's devices
+    key = (
+        air.cache_key(),
+        log_n,
+        config,
+        tuple(mesh.shape.items()),
+        ax,
+        tuple(dev.id for dev in mesh.devices.flatten()),
+    )
     hit = _PHASE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -412,6 +422,49 @@ def _gather_openings_jit(mesh, ax):
 # ---------------------------------------------------------------------------
 
 
+def dist_precommit(
+    air: Air,
+    trace: np.ndarray,
+    config: StarkConfig,
+    mesh,
+    axis_name: str = "sp",
+) -> dict:
+    """Dispatch the transcript-INDEPENDENT phases of ``dist_prove`` —
+    preprocessed + trace LDE and Merkle commit — without blocking.
+
+    This is the EP (table-parallel) hook: the commits of a container's
+    tables have no Fiat–Shamir dependency, so ``ep_prove_tables`` dispatches
+    them all up front on DIFFERENT device groups; JAX's async dispatch then
+    overlaps table k+1's commit execution with table k's
+    transcript-dependent phases.  The returned device values synchronize
+    only when ``dist_prove`` fetches their roots."""
+    trace = np.asarray(trace, dtype=np.uint32)
+    n, width = trace.shape
+    log_n = n.bit_length() - 1
+    d = mesh.shape[axis_name]
+    n_lde = n << config.log_blowup
+    fns = _phases(air, log_n, config, mesh, axis_name)
+    out = {
+        "fns": fns,
+        "p_lde_cols": jnp.zeros(
+            (n_lde, fns["wp_p"] // d * d and fns["wp_p"]), jnp.uint32
+        ),
+        "p_rows": jnp.zeros((n_lde, 0), jnp.uint32),
+        "p_levels": None,
+        "p_top": None,
+    }
+    if air.preprocessed_width:
+        pre = np.asarray(air.preprocessed_trace(n), dtype=np.uint32)
+        (
+            out["p_lde_cols"],
+            out["p_rows"],
+            out["p_levels"],
+            out["p_top"],
+        ) = fns["commit_p"](jnp.asarray(_pad_cols(pre, d)))
+    out["t"] = fns["commit_t"](jnp.asarray(_pad_cols(trace, d)))
+    return out
+
+
 def dist_prove(
     air: Air,
     trace: np.ndarray,
@@ -420,6 +473,7 @@ def dist_prove(
     mesh,
     axis_name: str = "sp",
     challenger: DuplexChallenger | None = None,
+    precommit: dict | None = None,
 ) -> dict:
     """Prove one AIR instance on the mesh; output == ``stark.prover.prove``.
 
@@ -441,7 +495,9 @@ def dist_prove(
     d = mesh.shape[axis_name]
     pre_width = air.preprocessed_width
     n_lde = n << config.log_blowup
-    fns = _phases(air, log_n, config, mesh, axis_name)
+    if precommit is None:
+        precommit = dist_precommit(air, trace, config, mesh, axis_name)
+    fns = precommit["fns"]
     s = fns["s"]
 
     if challenger is None:
@@ -452,23 +508,19 @@ def dist_prove(
 
     gather = _gather_openings_jit(mesh, axis_name)
 
-    # 0. preprocessed
-    p_lde_cols = jnp.zeros((n_lde, fns["wp_p"] // d * d and fns["wp_p"]), jnp.uint32)
-    p_rows = jnp.zeros((n_lde, 0), jnp.uint32)
-    p_levels = p_top = None
+    # 0.-1. preprocessed + trace LDE/commit: dispatched (possibly long ago,
+    # concurrently with OTHER tables' phases — EP) by dist_precommit; the
+    # root fetches below are the first synchronization points.
+    p_lde_cols = precommit["p_lde_cols"]
+    p_rows = precommit["p_rows"]
+    p_levels = precommit["p_levels"]
+    p_top = precommit["p_top"]
     root_p = None
     if pre_width:
-        pre = np.asarray(air.preprocessed_trace(n), dtype=np.uint32)
-        p_lde_cols, p_rows, p_levels, p_top = fns["commit_p"](
-            jnp.asarray(_pad_cols(pre, d))
-        )
         root_p = np.asarray(bb.from_mont(p_top[-1][0]))
         challenger.observe_many(root_p.tolist())
 
-    # 1. trace LDE + commit
-    t_lde_cols, t_rows, t_levels, t_top = fns["commit_t"](
-        jnp.asarray(_pad_cols(trace, d))
-    )
+    t_lde_cols, t_rows, t_levels, t_top = precommit["t"]
     root_t = np.asarray(bb.from_mont(t_top[-1][0]))
     challenger.observe_many(root_t.tolist())
     alpha = challenger.sample_ext()
@@ -648,4 +700,47 @@ def dist_prove_tables(entries, config: StarkConfig, mesh, axis_name: str = "sp")
     return [
         dist_prove(air, trace, publics, config, mesh, axis_name, challenger)
         for air, trace, publics in entries
+    ]
+
+
+def ep_prove_tables(entries, config: StarkConfig, mesh, axis_name: str = "sp"):
+    """EP (table-parallel) multi-table proving: each table runs on its OWN
+    device group, with every table's transcript-independent commit phase
+    dispatched UP FRONT (``dist_precommit``) so the groups work
+    concurrently — table k+1's LDE/Merkle executes while table k's
+    quotient/DEEP/FRI phases run.  The Fiat–Shamir transcript (and hence
+    every proof byte) is IDENTICAL to ``dist_prove_tables`` / the fused /
+    phase / host provers: the challenger consumes the same roots in the
+    same order; only the devices producing them differ (SURVEY §2.3 EP
+    row).  Tables that cannot shard over their group (tiny traces) fall
+    back to a 1-device group."""
+    from jax.sharding import Mesh
+
+    devices = list(mesh.devices.flatten())
+    g = min(len(entries), len(devices))
+    per = len(devices) // g
+    groups = []
+    for i, (air, trace, publics) in enumerate(entries):
+        if g == 0:
+            break
+        devs = devices[(i % g) * per : (i % g) * per + per]
+        n = np.asarray(trace).shape[0]
+        n_lde = n << config.log_blowup
+        # shrink the group until the LDE rows divide it with a full halo
+        nd = len(devs)
+        while nd > 1 and (n_lde % nd or n_lde // nd < config.blowup):
+            nd -= 1
+        groups.append(Mesh(np.array(devs[:nd]), (axis_name,)))
+    # dispatch ALL commits first (no transcript dependency — EP overlap)
+    pres = [
+        dist_precommit(air, trace, config, groups[i], axis_name)
+        for i, (air, trace, publics) in enumerate(entries)
+    ]
+    challenger = DuplexChallenger()
+    return [
+        dist_prove(
+            air, trace, publics, config, groups[i], axis_name, challenger,
+            precommit=pres[i],
+        )
+        for i, (air, trace, publics) in enumerate(entries)
     ]

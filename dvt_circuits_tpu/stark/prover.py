@@ -495,7 +495,17 @@ def prove(
     transcript (multi-table proving: the challenges of table i+1 depend on
     every commitment of tables 0..i — SP1's multi-chip shard analogue).
     The matching verifier must replay the tables in the same order.
+
+    ``DVT_PROVER=host`` reroutes to the pure-numpy host prover
+    (bit-identical output, no XLA compile) — the seam the default test
+    suite and accelerator-free environments use.
     """
+    import os as _os
+
+    if _os.environ.get("DVT_PROVER") == "host":
+        from .host_prover import host_prove
+
+        return host_prove(air, trace, public_values, config, challenger)
     trace = np.asarray(trace, dtype=np.uint32)
     n, width = trace.shape
     log_n = n.bit_length() - 1

