@@ -257,11 +257,13 @@ def main():
         )
 
     # --- BLS12-381 MSM on-device (north-star kernel) ------------------------
-    with section("msm", 600):
+    # Blelloch-scan bucket accumulation (~2m group adds per window vs the
+    # r4 Hillis-Steele's m·log2 m); sizes per VERDICT r4 item 7 (2^12).
+    with section("msm", 900):
         from dvt_circuits_tpu.curve import g1 as tg1
         from dvt_circuits_tpu.hostcrypto import bls12_381 as bls
 
-        for npts in (64, 1024):
+        for npts in (1024, 4096):
             pts = [bls.g1_mul(bls.G1_GEN, 7 * i + 3) for i in range(npts)]
             scs = [
                 int.from_bytes(rng.bytes(32), "big") % bls.R

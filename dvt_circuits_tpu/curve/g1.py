@@ -322,6 +322,12 @@ def msm_bucket(points_affine, scalars, window_bits: int | None = None):
             bx = x * GLV_BETA % host.P
             pts.append((bx, y if s2 > 0 else (host.P - y) % host.P))
         subscalars += [a1, a2]
+    # Blelloch scan needs a power-of-two point count: pad with identity
+    # points at digit 0 (zero scalar) — excluded from every bucket
+    m = len(pts)
+    m2 = 1 << max(m - 1, 1).bit_length()
+    pts += [None] * (m2 - m)
+    subscalars += [0] * (m2 - m)
     p = from_affine_points(pts)
     digits = jnp.asarray(_bucket_digits(subscalars, window_bits))
     out = _msm_bucket_jit(p, digits, window_bits)

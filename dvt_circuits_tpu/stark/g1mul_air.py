@@ -401,6 +401,7 @@ class G1MulAir(Air):
         s_col = np.zeros(n, dtype=np.uint32)
 
         publics: List[int] = []
+        h_rows: List[Tuple[int, int]] = []  # (L6 row, H) for batch inversion
         r = 0
         for c, (sk_bytes, point) in enumerate(chains):
             bits = self.chain_bits[c]
@@ -417,6 +418,7 @@ class G1MulAir(Air):
                 env = self._exec_ladder(acc, inf, (px, py), b)
                 # place values into the 7 sub-rows
                 self._place_ladder(vals, r, acc, env)
+                h_rows.append((r + 6, env["H"]))
                 for s in range(OPS_PER_BIT):
                     bits_col[r + s] = b
                     inf_col[r + s] = inf
@@ -464,6 +466,23 @@ class G1MulAir(Air):
 
         assert r == self.min_rows
         assert len(publics) == self.num_public_values
+
+        # batch inversion of every ladder step's H (Montgomery's trick:
+        # ONE modular pow for all bits; zeros map to inverse 0)
+        nz = [(row, h) for row, h in h_rows if h]
+        if nz:
+            prefix = []
+            run = 1
+            for _, h in nz:
+                prefix.append(run)
+                run = run * h % P_INT
+            inv_run = pow(run, P_INT - 2, P_INT)
+            for i in range(len(nz) - 1, -1, -1):
+                row, h = nz[i]
+                hinv = inv_run * prefix[i] % P_INT
+                inv_run = inv_run * h % P_INT
+                vals[row, INVV] = hinv
+                vals[row, M0R] = h * hinv % P_INT
         trace = self._build_trace(vals, bits_col, inf_col, s_col, publics)
         return trace, publics
 
@@ -504,8 +523,9 @@ class G1MulAir(Air):
                 "G1 chip: x-collision in mixed addition (adding ±P to "
                 "itself) — pathological input is unprovable by design"
             )
-        e["HINV"] = pow(e["H"], p - 2, p) if e["H"] else 0
-        e["HI"] = e["H"] * e["HINV"] % p
+        # HINV/HI are filled in bulk after the ladder (generate_trace's
+        # Montgomery batch inversion: one pow for ALL bits instead of one
+        # per bit — the pow calls were ~10% of finalization witness time)
         return e
 
     def _place_ladder(self, vals, r, acc, e) -> None:
@@ -548,8 +568,8 @@ class G1MulAir(Air):
             e["dY3"],
         )
         v[r + 5, CP7], v[r + 5, CP3] = e["U2"], e["mX3"]
-        v[r + 6, M0R] = e["HI"]
-        v[r + 6, INVV] = e["HINV"]
+        # v[r + 6, M0R] (HI) and v[r + 6, INVV] (HINV) are batch-filled
+        # by generate_trace after the ladder (one batched inversion)
         v[r + 6, RR] = e["mZ3"]
         v[r + 6, CP4], v[r + 6, CP5], v[r + 6, CP6] = (
             e["dZ3"],
