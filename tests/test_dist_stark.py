@@ -131,6 +131,8 @@ def test_dist_prove_real_stream_table_default_path():
     assert stark_verify(air, dist, publics, TEST_CONFIG)
 
 
+@pytest.mark.heavy  # cold XLA CPU compiles of per-group phase graphs;
+# the driver dryrun (stage 1b) asserts the same byte-identity every round
 def test_ep_prove_tables_bit_identical():
     """EP (table-parallel): two small tables proven on SEPARATE device
     groups with commits dispatched up front — bytes identical to the

@@ -67,6 +67,9 @@ class TestDistCommitStep:
             assert np.array_equal(roots[i], want), i
 
 
+@pytest.mark.heavy  # runs the FULL driver dryrun (real container proved
+# distributed + EP) — the driver executes the same entry point itself on
+# every round; keeping it default doubled suite wall time
 def test_graft_entry_points():
     import sys
     from pathlib import Path
@@ -80,6 +83,8 @@ def test_graft_entry_points():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.heavy  # standalone EP demo; production EP is covered by the
+# default test_dist_stark EP test + the driver dryrun stage 1b
 class TestEpTables:
     def test_roots_match_single_device(self, rng):
         from dvt_circuits_tpu.ntt import coset_lde
@@ -109,6 +114,7 @@ class TestEpTables:
             ep_commit_tables(np.zeros((3, 8, 2), np.uint32), mesh)
 
 
+@pytest.mark.heavy  # PP stage-pipeline demo (XLA CPU compile-bound)
 class TestPpPipeline:
     @pytest.mark.parametrize("n_stages", [3, 4, 8])
     def test_roots_match_sequential(self, rng, n_stages):
