@@ -83,19 +83,20 @@ def _sync(out):
     np.asarray(leaf.ravel()[:1])
 
 
-def _bench(fn, *args, min_time=0.05, reps=5, max_iters=2000):
+def _bench(fn, *args, min_time=0.05, reps=5, max_iters=2000, min_iters=8):
     """Sustained per-call latency: median over ``reps`` timed loops, each
     sized so the async-dispatch queue amortizes the host↔device fence to
-    noise (loop wall time ≥ min_time).  Replaces the r1-r3 fence-subtraction
-    scheme whose one-shot fence estimate made fast kernels report negative
-    or inflated times (VERDICT r3: keccak 3.3e13 perm/s, NTT 28.6%→118.9%
-    swings — measurement, not kernel, variance)."""
+    noise (loop wall time ≥ min_time AND ≥ min_iters calls — the tunnel's
+    device→host fetch costs ~15-20 ms, so a 1-2-call loop silently adds
+    ~50% to a ~30 ms kernel; r04's poseidon2 "43%" was exactly this).
+    Replaces the r1-r3 fence-subtraction scheme whose one-shot fence
+    estimate made fast kernels report negative or inflated times."""
     out = fn(*args)
     _sync(out)  # compile + warm
     t0 = time.perf_counter()
     _sync(fn(*args))
     t_probe = max(time.perf_counter() - t0, 1e-6)
-    iters = int(min(max_iters, max(1, round(min_time / t_probe))))
+    iters = int(min(max_iters, max(min_iters, round(min_time / t_probe))))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -70,7 +70,10 @@ from ..stark.sha256_air import Sha256Air, digest_from_publics, pad_message
 from ..stark.verifier import StarkError
 from ..utils import cbor
 
-PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v6"
+#: v7: g1mul gadget extras carry the signature-binding data (partial
+#: pubkeys + BLS signatures + cleartext, ECDSA credentials) the verifier
+#: re-checks; v6 containers with curve gadgets no longer verify.
+PROOF_FORMAT = "dvt-circuits-tpu/stark-proof/v7"
 
 #: gadget kind ids as absorbed into the stream-AIR header (_stream_words)
 _GADGET_KIND_IDS = {"sha256": 1, "chacha20": 2, "g1": 3, "g1mul": 4}
