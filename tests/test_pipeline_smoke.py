@@ -67,3 +67,32 @@ def test_curve_relation_smoke():
     container = prove_circuit("bad-share", data, True, TEST_CONFIG)
     res = verify_proof(container, strict=True)
     assert res.binding == "curve-bound+sig" and res.g1_relations == 1
+
+
+def test_strict_covers_finalization_and_partial_key():
+    """strict/--require-curve-binding now also rejects finalization and
+    bad-partial-key containers whose curve relations are omitted or absent
+    (advisor r4 finding 2 / VERDICT r4 item 6) — host prover, no XLA."""
+    import os
+
+    import pytest
+
+    from dvt_circuits_tpu.dkg.scenario_gen import DkgCommittee
+
+    os.environ["DVT_PROVER"] = "host"
+    os.environ["DVT_G1"] = "0"
+    try:
+        committee = DkgCommittee(3, 2)
+        for name, data in (
+            ("finalization", committee.finalization_data()),
+            ("bad-partial-key", committee.bad_partial_key_data(1, True)),
+        ):
+            container = prove_circuit(name, data, True, TEST_CONFIG)
+            assert container["g1_omitted"] == 1
+            res = verify_proof(container)  # non-strict: flagged only
+            assert res.binding == "hash-bound" and res.g1_omitted == 1
+            with pytest.raises(VerifyError):
+                verify_proof(container, strict=True)
+    finally:
+        os.environ.pop("DVT_G1", None)
+        os.environ.pop("DVT_PROVER", None)
