@@ -45,16 +45,18 @@ def test_host_merkle_root_matches_device():
 
 
 def test_preprocessed_commitment_host_matches_proof():
-    """The host-computed verifying key equals the device commitment the
-    fused prover places in proofs (end-to-end bit-identity)."""
+    """The host-computed verifying key equals the commitment the prover
+    places in proofs (end-to-end bit-identity).  Uses the numpy host
+    prover (bit-identical to the fused prover — covered by the heavy
+    suite/dryrun) so the default suite skips a ~4 min XLA CPU compile."""
     from dvt_circuits_tpu.stark.config import TEST_CONFIG
-    from dvt_circuits_tpu.stark.fused import prove_tables
+    from dvt_circuits_tpu.stark.host_prover import host_prove_tables
     from dvt_circuits_tpu.stark.prover import preprocessed_commitment
     from dvt_circuits_tpu.stark.sha256_air import Sha256Air, pad_message
 
     padded = pad_message(b"host backend check")
     air = Sha256Air(len(padded) // 64)
     trace, publics = air.generate_trace(padded)
-    proofs, _ = prove_tables([(air, trace, publics)], TEST_CONFIG)
+    proofs, _ = host_prove_tables([(air, trace, publics)], TEST_CONFIG)
     vk = preprocessed_commitment(air, proofs[0]["log_n"], TEST_CONFIG)
     assert proofs[0]["root_p"] == vk
