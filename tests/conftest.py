@@ -7,6 +7,11 @@ from pathlib import Path
 # JAX_PLATFORMS=axon before pytest starts), so flipping the env var is not
 # enough — update the live config before any backend is initialized.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The 8-device mesh would auto-trigger prove_circuit's DISTRIBUTED path
+# (production behavior) in every proving test; pin tests to the
+# single-device backends — dist/EP are tested explicitly
+# (test_dist_stark.py, the driver dryrun).
+os.environ.setdefault("DVT_DIST", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
