@@ -83,7 +83,7 @@ def _sync(out):
     np.asarray(leaf.ravel()[:1])
 
 
-def _bench(fn, *args, min_time=0.05, reps=5, max_iters=2000, min_iters=8):
+def _bench(fn, *args, min_time=0.05, reps=5, max_iters=2000, min_iters=12):
     """Sustained per-call latency: median over ``reps`` timed loops, each
     sized so the async-dispatch queue amortizes the host↔device fence to
     noise (loop wall time ≥ min_time AND ≥ min_iters calls — the tunnel's
